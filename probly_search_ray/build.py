@@ -1,0 +1,179 @@
+"""Ray-Data-native index build pipeline.
+
+Pipeline shape (SURVEY.md §3.1 "Ray shape"):
+
+    read_parquet(group files, columns=[key]+fields)      # prune at read
+      → map_batches(SegmentEncoder, pyarrow, actor pool) # tokenize+count+
+                                                         # encode, no shuffle
+      → sort(["term", "doc_lo"])                         # THE one wide op:
+                                                         # compact encoded
+                                                         # rows, not raw
+                                                         # occurrences
+      → write_parquet(terms/group=G)                     # term-sorted shards
+
+The input file list is split into *partition groups*; each group is
+built and committed independently (manifest record with lineage +
+metrics), which is what makes the build resumable: a rerun skips
+committed groups.  Query actors merge groups at load time (df and
+first_pos are decomposable: sum / min over per-group partials).
+
+Skew: a hot term (stopword) contributes one dictionary row per input
+*batch*, already holding a compressed block — group sizes in the sort
+are bounded by #batches, not #docs, so no per-key salting is needed;
+row payloads are capped by ``block_postings``.  The sort itself range-
+partitions by value, so hot-term rows spread across output blocks.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray.data
+
+from probly_search_ray.stages.segment import SegmentEncoder, read_docmeta_ipc
+from probly_search_ray.state.manifest import Manifest, Stats, Tombstones
+
+
+def _expand_paths(paths) -> list[str]:
+    if isinstance(paths, str):
+        paths = [paths]
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(sorted(globmod.glob(os.path.join(p, "**", "*.parquet"),
+                                           recursive=True)))
+        elif any(ch in p for ch in "*?["):
+            out.extend(sorted(globmod.glob(p)))
+        else:
+            out.append(p)
+    return out
+
+
+def build_index(
+    input_paths,
+    index_dir: str,
+    key_col: str = "doc_id",
+    field_cols: list[str] | None = None,
+    tokenizer: str = "whitespace",
+    files_per_group: int = 64,
+    batch_size: int = 4096,
+    block_postings: int = 4096,
+    concurrency=None,
+    overwrite: bool = False,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume building) an index over Parquet inputs.
+
+    Returns the manifest data.  Docs must carry unique ``key_col`` ids;
+    insertion order (for reference-order parity) is ascending doc_id.
+    """
+    field_cols = field_cols or ["text"]
+    if overwrite and os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+
+    files = _expand_paths(input_paths)
+    if not files:
+        raise ValueError(f"no parquet inputs under {input_paths!r}")
+    groups = [files[i:i + files_per_group]
+              for i in range(0, len(files), files_per_group)]
+
+    man = Manifest(index_dir)
+    man.set_config({
+        "key_col": key_col, "field_cols": field_cols, "tokenizer": tokenizer,
+        "num_fields": len(field_cols), "block_postings": block_postings,
+        "batch_size": batch_size, "input_files": files,
+        "files_per_group": files_per_group,
+    })
+    committed = man.committed_group_ids() if resume else set()
+
+    for gi, gfiles in enumerate(groups):
+        gid = f"{gi:05d}"
+        if gid in committed:
+            continue
+        t0 = time.perf_counter()
+        out_dir = os.path.join(index_dir, "terms", f"group={gid}")
+        tmp_dir = out_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+
+        ds = ray.data.read_parquet(gfiles, columns=[key_col] + field_cols)
+        enc = SegmentEncoder(key_col, field_cols, tokenizer=tokenizer,
+                             block_postings=block_postings)
+        kwargs = {}
+        if concurrency is not None:
+            kwargs["concurrency"] = concurrency
+        rows = ds.map_batches(
+            enc, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True, **kwargs)
+        rows = rows.sort(["term", "doc_lo"])
+        rows.write_parquet(tmp_dir)
+        os.replace(tmp_dir, out_dir)
+
+        # --- group finalize: doc-meta extraction + lineage record -------
+        term_files = []
+        num_docs = 0
+        sums = np.zeros(len(field_cols), dtype=np.int64)
+        meta_tables = []
+        n_rows = 0
+        n_bytes = 0
+        for f in sorted(globmod.glob(os.path.join(out_dir, "*.parquet"))):
+            pf = pq.ParquetFile(f)
+            n_rows += pf.metadata.num_rows
+            n_bytes += os.path.getsize(f)
+            # term range: files are term-sorted, so first/last value of the
+            # term column are exact (parquet footer stats can truncate
+            # long strings, so don't trust them)
+            tcol = pads.dataset(f).to_table(columns=["term"])["term"]
+            tmin = tcol[0].as_py() if len(tcol) else None
+            tmax = tcol[-1].as_py() if len(tcol) else None
+            term_files.append({"path": os.path.relpath(f, index_dir),
+                               "term_min": tmin, "term_max": tmax,
+                               "rows": pf.metadata.num_rows})
+            # doc-meta sentinel rows (term == "") — predicate pushdown makes
+            # this skip every row group whose min term > ""
+            frag = pads.dataset(f).to_table(filter=pads.field("term") == "")
+            for blob in frag["blob"].to_pylist():
+                mt = read_docmeta_ipc(blob)
+                meta_tables.append(mt)
+                num_docs += len(mt)
+                for fi in range(len(field_cols)):
+                    sums[fi] += int(np.sum(mt[f"len_{fi}"].to_numpy()))
+        # write docmeta for the group
+        if meta_tables:
+            import pyarrow as pa
+            meta_dir = os.path.join(index_dir, "docmeta")
+            os.makedirs(meta_dir, exist_ok=True)
+            tmp = os.path.join(meta_dir, f"group={gid}.parquet.tmp")
+            pq.write_table(pa.concat_tables(meta_tables), tmp)
+            os.replace(tmp, os.path.join(meta_dir, f"group={gid}.parquet"))
+
+        wall = time.perf_counter() - t0
+        man.commit_group(gid, {
+            "input_files": gfiles,
+            "num_docs": int(num_docs),
+            "field_len_sums": [int(s) for s in sums],
+            "term_files": term_files,
+            "term_rows": int(n_rows),
+            "term_bytes": int(n_bytes),
+            "wall_sec": round(wall, 3),
+            "docs_per_sec": round(num_docs / wall, 1) if wall > 0 else None,
+        })
+
+    # --- global stats from group partials (reference avg = sum/N) -------
+    total_docs = sum(rec["num_docs"] for rec in man.groups.values())
+    total_sums = np.zeros(len(field_cols), dtype=np.int64)
+    for rec in man.groups.values():
+        total_sums += np.asarray(rec["field_len_sums"], dtype=np.int64)
+    Stats(index_dir).set_from_build(total_docs, list(total_sums))
+    Tombstones(index_dir)  # touch
+    return man.data

@@ -1,0 +1,454 @@
+"""Query engine: term-range shard readers + coordinator.
+
+Distributed query model (SURVEY.md §3.2 "Ray shape"):
+
+- the index's terms are split into **disjoint term ranges**; each range
+  is served by a ``ShardData`` (in-process for tests / small corpora,
+  or inside a Ray actor pool for serving).  A term's complete posting
+  list and global df live in exactly one shard (rows of the same term
+  from all build groups are merged at load; df = sum of partials,
+  first_pos = min of partials).
+- a query runs on a coordinator: per query term it (1) gathers prefix
+  expansions from the shards, (2) reconstructs the reference's
+  trie-DFS expansion order from ``first_pos`` (children in reverse
+  creation order, ``/root/reference/src/query.rs:130-147``),
+  (3) computes BM25 ``before_each`` inputs from global stats
+  (``src/score/default/bm25.rs:34-58``), (4) has shards score posting
+  lists vectorized, and (5) merges with the exact
+  ``max_score_merger`` semantics (``src/query.rs:150-164``): for one
+  query term the doc's contribution is ``max(prev + s_first, s_rest…)``
+  where ``s_first`` is the score of the doc's *first-visited* expansion
+  in trie order — the reference's (quirky) behaviour, reproduced
+  faithfully.
+
+Tombstones (``src/index.rs:30-32``): a small broadcast set; postings of
+removed docs are skipped and df is reduced by their occurrence counts
+(``src/index.rs:281-297``), matching latent-delete semantics exactly.
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from probly_search_ray.functions.codec import decode_blob
+from probly_search_ray.functions.tokenize import get_tokenizer
+from probly_search_ray.state.manifest import Manifest, Stats, Tombstones
+
+
+class ShardData:
+    """Term dictionary + postings for one term range, merged across
+    build groups.  Loaded once (actor ``__init__``), served per query."""
+
+    def __init__(self, index_dir: str, term_lo: str | None = None,
+                 term_hi: str | None = None):
+        man = Manifest(index_dir)
+        self.num_fields = man.data["config"]["num_fields"]
+        tables = []
+        for rec in man.term_files():
+            if term_hi is not None and rec["term_min"] is not None \
+                    and rec["term_min"] >= term_hi:
+                continue
+            if term_lo is not None and rec["term_max"] is not None \
+                    and rec["term_max"] < term_lo:
+                continue
+            path = os.path.join(index_dir, rec["path"])
+            flt = pads.field("term") != ""
+            if term_lo is not None:
+                flt = flt & (pads.field("term") >= term_lo)
+            if term_hi is not None:
+                flt = flt & (pads.field("term") < term_hi)
+            t = pads.dataset(path).to_table(
+                filter=flt, columns=["term", "doc_lo", "df", "first_pos", "blob"])
+            if len(t):
+                tables.append(t)
+        if tables:
+            full = pa.concat_tables(tables).sort_by(
+                [("term", "ascending"), ("doc_lo", "ascending")])
+        else:
+            full = None
+
+        self.terms: list[str] = []
+        self.df: np.ndarray = np.empty(0, np.int64)
+        self.first_pos: np.ndarray = np.empty(0, np.uint64)
+        self.blobs: list[bytes] = []
+        if full is not None and len(full):
+            terms = full["term"].to_pylist()
+            dfs = full["df"].to_numpy().astype(np.int64)
+            fps = full["first_pos"].to_numpy()
+            blobs = full["blob"].to_pylist()
+            # merge duplicate term rows (adjacent after sort)
+            out_t, out_df, out_fp, out_b = [], [], [], []
+            i = 0
+            n = len(terms)
+            while i < n:
+                j = i + 1
+                while j < n and terms[j] == terms[i]:
+                    j += 1
+                out_t.append(terms[i])
+                out_df.append(int(dfs[i:j].sum()))
+                out_fp.append(fps[i:j].min())
+                out_b.append(b"".join(blobs[i:j]) if j > i + 1 else blobs[i])
+                i = j
+            self.terms = out_t
+            self.df = np.asarray(out_df, dtype=np.int64)
+            self.first_pos = np.asarray(out_fp, dtype=np.uint64)
+            self.blobs = out_b
+        self._decoded: dict[int, tuple] = {}
+
+    # -- dictionary --------------------------------------------------------
+
+    def expand(self, prefix: str) -> list[tuple[str, int, int]]:
+        """All stored terms with this prefix → (term, raw_df, first_pos).
+        Enumerating them mirrors the reference's trie DFS collection
+        (``src/query.rs:108-126``); order is canonicalized later."""
+        i = bisect.bisect_left(self.terms, prefix)
+        out = []
+        while i < len(self.terms) and self.terms[i].startswith(prefix):
+            out.append((self.terms[i], int(self.df[i]), int(self.first_pos[i])))
+            i += 1
+        return out
+
+    def _postings(self, term: str):
+        i = bisect.bisect_left(self.terms, term)
+        if i >= len(self.terms) or self.terms[i] != term:
+            return None
+        if i not in self._decoded:
+            docs, occ, tfs, lens = decode_blob(self.blobs[i], self.num_fields)
+            self._decoded[i] = (docs, occ.astype(np.float64),
+                                [t.astype(np.float64) for t in tfs],
+                                [l.astype(np.float64) for l in lens])
+            if len(self._decoded) > 512:
+                self._decoded.pop(next(iter(self._decoded)))
+        return self._decoded[i]
+
+    def df_adjusted(self, term: str, tomb: np.ndarray) -> int:
+        """Occurrence-counted df excluding tombstoned docs
+        (``src/index.rs:281-297``)."""
+        i = bisect.bisect_left(self.terms, term)
+        if i >= len(self.terms) or self.terms[i] != term:
+            return 0
+        if len(tomb) == 0:
+            return int(self.df[i])
+        docs, occ, _, _ = self._postings(term)
+        mask = _in_sorted(docs, tomb)
+        return int(self.df[i] - occ[mask].sum())
+
+    # -- scoring -----------------------------------------------------------
+
+    def score_bm25(self, term: str, idf_boost: float, fields_boost,
+                   avgs, k1: float, b: float, tomb: np.ndarray):
+        """Vectorized BM25 over a term's posting list
+        (``src/score/default/bm25.rs:60-93``)."""
+        p = self._postings(term)
+        if p is None:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        docs, occ, tfs, lens = p
+        if len(tomb):
+            keep = ~_in_sorted(docs, tomb)
+            docs = docs[keep]
+            tfs = [t[keep] for t in tfs]
+            lens = [l[keep] for l in lens]
+        s = np.zeros(len(docs), dtype=np.float64)
+        for x in range(self.num_fields):
+            tf = tfs[x]
+            pos = tf > 0.0
+            if not pos.any():
+                continue
+            fl = lens[x][pos]
+            tfp = tf[pos]
+            tf_norm = ((k1 + 1.0) * tfp) / (
+                k1 * ((1.0 - b) + b * (fl / avgs[x])) + tfp)
+            s[pos] += tf_norm * idf_boost * fields_boost[x]
+        m = s > 0.0
+        return docs[m], s[m]
+
+    def gather_postings(self, term: str, tomb: np.ndarray):
+        """Raw (docs, tfs, lens) for scorer plugins (zero_to_one etc.)."""
+        p = self._postings(term)
+        if p is None:
+            return None
+        docs, occ, tfs, lens = p
+        if len(tomb):
+            keep = ~_in_sorted(docs, tomb)
+            docs = docs[keep]
+            tfs = [t[keep] for t in tfs]
+            lens = [l[keep] for l in lens]
+        return docs, tfs, lens
+
+
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership of values in a sorted array (vectorized anti-join)."""
+    idx = np.searchsorted(sorted_arr, values)
+    idx = np.minimum(idx, len(sorted_arr) - 1)
+    return sorted_arr[idx] == values
+
+
+def trie_expansion_order(expansions: list[tuple[str, int, int]],
+                         prefix: str) -> list[str]:
+    """Order expansion terms exactly as the reference trie DFS would
+    (``/root/reference/src/query.rs:130-147``): emit the prefix term
+    first if present, then children in reverse creation order (newest
+    first), where a child subtree's creation position is the minimum
+    ``first_pos`` of its terms.  Ties (possible only past the 2^20
+    per-doc position cap) break by char ascending, deterministically."""
+    out: list[str] = []
+
+    def rec(p: str, items: list[tuple[str, int]]):
+        # items: (term, first_pos) all having prefix p, sorted by term
+        rest = []
+        for t, fp in items:
+            if t == p:
+                out.append(t)
+            else:
+                rest.append((t, fp))
+        groups: dict[str, list] = {}
+        for t, fp in rest:
+            groups.setdefault(t[len(p)], []).append((t, fp))
+        ordered = sorted(
+            groups.items(),
+            key=lambda kv: (-min(fp for _, fp in kv[1]), kv[0]))
+        for ch, sub in ordered:
+            rec(p + ch, sub)
+
+    rec(prefix, sorted((t, fp) for t, _, fp in expansions))
+    return out
+
+
+class SearchEngine:
+    """User-facing query API over a built index (the reference's
+    ``Index::query``, ``/root/reference/src/query.rs:21-106``)."""
+
+    def __init__(self, index_dir: str, num_shards: int = 1,
+                 use_actors: bool = False):
+        self.index_dir = index_dir
+        man = Manifest(index_dir)
+        cfg = man.data["config"]
+        self.num_fields = cfg["num_fields"]
+        self.tokenizer = get_tokenizer(cfg["tokenizer"])
+        self.stats = Stats(index_dir)
+        self._reload_tombstones()
+        bounds = self._shard_bounds(man, num_shards)
+        self.use_actors = use_actors
+        if use_actors:
+            import ray
+            Actor = ray.remote(num_cpus=1)(ShardData)
+            self.shards = [Actor.remote(index_dir, lo, hi)
+                           for lo, hi in bounds]
+            self._ray = ray
+        else:
+            self.shards = [ShardData(index_dir, lo, hi) for lo, hi in bounds]
+
+    def _reload_tombstones(self):
+        tids = Tombstones(self.index_dir).doc_ids
+        self.tomb = np.sort(np.asarray(tids, dtype=np.uint64))
+
+    def _shard_bounds(self, man: Manifest, num_shards: int):
+        if num_shards <= 1:
+            return [(None, None)]
+        mins = sorted(r["term_min"] for r in man.term_files()
+                      if r["term_min"] is not None and r["term_min"] != "")
+        if not mins:
+            return [(None, None)]
+        qs = [mins[int(len(mins) * i / num_shards)] for i in range(1, num_shards)]
+        qs = sorted(set(qs))
+        bounds = []
+        lo = None
+        for q in qs:
+            bounds.append((lo, q))
+            lo = q
+        bounds.append((lo, None))
+        return bounds
+
+    # -- shard fan-out helpers --------------------------------------------
+
+    def _call(self, method: str, *args):
+        if self.use_actors:
+            refs = [getattr(s, method).remote(*args) for s in self.shards]
+            return self._ray.get(refs)
+        return [getattr(s, method)(*args) for s in self.shards]
+
+    def _call_one(self, shard, method: str, *args):
+        if self.use_actors:
+            return self._ray.get(getattr(shard, method).remote(*args))
+        return getattr(shard, method)(*args)
+
+    # -- query -------------------------------------------------------------
+
+    def query(self, q: str, scorer: str = "bm25", k: int | None = None,
+              fields_boost: list[float] | None = None, expand: bool = True,
+              k1: float = 1.2, b: float = 0.75) -> list[tuple[int, float]]:
+        """Free-text disjunctive query; returns [(doc_id, score)] in
+        canonical (score desc, doc_id asc) order, optionally top-k.
+        ``expand=False`` disables prefix expansion (exact-term mode, an
+        extension over the reference used for SQL-checkable oracles)."""
+        fields_boost = fields_boost or [1.0] * self.num_fields
+        query_terms = self.tokenizer.py_fn(q)
+        qlen = len(query_terms)  # includes empty tokens (src/query.rs:32)
+        n_docs = self.stats.num_docs
+        avgs = [self.stats.field_avg(f) for f in range(self.num_fields)]
+
+        if scorer == "bm25":
+            res = self._query_bm25(query_terms, fields_boost, n_docs, avgs,
+                                   k1, b, expand)
+        elif scorer == "zero_to_one":
+            res = self._query_zero_to_one(query_terms, qlen, expand)
+        else:
+            raise ValueError(f"unknown scorer {scorer!r}")
+        res.sort(key=lambda r: (-r[1], r[0]))
+        return res[:k] if k is not None else res
+
+    # .. BM25 ..............................................................
+
+    def _expansions_for(self, term: str, expand: bool):
+        """Global expansion list in reference trie order, with
+        tombstone-adjusted df; terms with df == 0 are skipped
+        (``src/query.rs:44-48``) but still shape the order."""
+        per_shard = self._call("expand", term) if expand else None
+        if expand:
+            all_exp = [e for lst in per_shard for e in lst]
+        else:
+            all_exp = []
+            for shard in self.shards:
+                d = self._call_one(shard, "df_adjusted", term, self.tomb)
+                if d > 0:
+                    all_exp.append((term, d, 0))
+        if not all_exp:
+            return [], {}
+        ordered = trie_expansion_order(all_exp, term) if expand \
+            else [t for t, _, _ in all_exp]
+        # adjusted df (only needs decode when tombstones exist)
+        df_map = {}
+        for t, raw_df, _ in all_exp:
+            if len(self.tomb):
+                owner = self._owner_shard(t)
+                df_map[t] = self._call_one(owner, "df_adjusted", t, self.tomb)
+            else:
+                df_map[t] = raw_df
+        ordered = [t for t in ordered if df_map.get(t, 0) > 0]
+        return ordered, df_map
+
+    def _owner_shard(self, term: str):
+        # shards have disjoint term ranges; find by probing expand on the
+        # exact term (cheap).  With 1 shard, trivial.
+        if len(self.shards) == 1:
+            return self.shards[0]
+        for shard in self.shards:
+            got = self._call_one(shard, "df_adjusted", term, np.empty(0, np.uint64))
+            if got > 0:
+                return shard
+        return self.shards[0]
+
+    def _query_bm25(self, query_terms, fields_boost, n_docs, avgs, k1, b,
+                    expand):
+        g_docs = np.empty(0, dtype=np.uint64)
+        g_scores = np.empty(0, dtype=np.float64)
+        for term in query_terms:
+            if term == "":
+                continue
+            ordered, df_map = self._expansions_for(term, expand)
+            if not ordered:
+                continue
+            docs_parts, s_parts, rank_parts = [], [], []
+            for rank, e in enumerate(ordered):
+                df = df_map[e]
+                freq = min(n_docs, df)
+                diff = n_docs - freq
+                idf = math.log(1.0 + (diff + 0.5) / (freq + 0.5))
+                if e == term:
+                    boost = 1.0
+                else:
+                    boost = math.log(1.0 + 1.0 / (
+                        1.0 + len(e.encode()) - len(term.encode())))
+                parts = self._call("score_bm25", e, idf * boost, fields_boost,
+                                   avgs, k1, b, self.tomb)
+                for docs_e, s_e in parts:
+                    if len(docs_e):
+                        docs_parts.append(docs_e)
+                        s_parts.append(s_e)
+                        rank_parts.append(np.full(len(docs_e), rank, np.int64))
+            if not docs_parts:
+                continue
+            docs_all = np.concatenate(docs_parts)
+            s_all = np.concatenate(s_parts)
+            rank_all = np.concatenate(rank_parts)
+            order = np.lexsort((rank_all, docs_all))
+            d_s, s_s = docs_all[order], s_all[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], d_s[1:] != d_s[:-1])))
+            term_docs = d_s[starts]
+            s_first = s_s[starts]
+            masked = s_s.copy()
+            masked[starts] = -np.inf
+            rest_max = np.maximum.reduceat(masked, starts)
+            # merge into global scores (max_score_merger semantics)
+            idx = np.searchsorted(g_docs, term_docs)
+            has_prev = np.zeros(len(term_docs), dtype=bool)
+            if len(g_docs):
+                idx_c = np.minimum(idx, len(g_docs) - 1)
+                has_prev = g_docs[idx_c] == term_docs
+            new_vals = np.where(
+                has_prev,
+                np.maximum(
+                    (g_scores[np.minimum(idx, max(len(g_docs) - 1, 0))]
+                     if len(g_docs) else 0.0) + s_first,
+                    rest_max),
+                np.maximum(s_first, rest_max))
+            # build merged arrays
+            upd = dict(zip(term_docs.tolist(), new_vals.tolist()))
+            keep_mask = np.ones(len(g_docs), dtype=bool)
+            if len(g_docs):
+                keep_mask = ~_in_sorted(g_docs, np.sort(term_docs))
+            md = np.concatenate((g_docs[keep_mask], term_docs))
+            ms = np.concatenate((g_scores[keep_mask], new_vals))
+            o = np.argsort(md, kind="stable")
+            g_docs, g_scores = md[o], ms[o]
+        return [(int(d), float(s)) for d, s in zip(g_docs, g_scores)]
+
+    # .. zero_to_one ........................................................
+
+    def _query_zero_to_one(self, query_terms, qlen, expand):
+        from probly_search_ray.refmodel import ZeroToOne  # reuse finalize
+        records: dict[int, list] = {}  # doc -> per-field record lists
+        node_uid: dict[str, int] = {}
+        candidates: set[int] = set()
+        for qti, term in enumerate(query_terms):
+            if term == "":
+                continue
+            ordered, df_map = self._expansions_for(term, expand)
+            tl = float(len(term.encode()))
+            for e in ordered:
+                uid = node_uid.setdefault(e, len(node_uid))
+                te = float(len(e.encode()))
+                e_score = 1.0 - abs(te - tl) / te
+                parts = self._call("gather_postings", e, self.tomb)
+                for p in parts:
+                    if p is None:
+                        continue
+                    docs, tfs, lens = p
+                    for di in range(len(docs)):
+                        doc = int(docs[di])
+                        candidates.add(doc)
+                        per_field = records.setdefault(
+                            doc, [[] for _ in range(self.num_fields)])
+                        for x in range(self.num_fields):
+                            tf = int(tfs[x][di])
+                            if tf > 0:
+                                per_field[x].append({
+                                    "score": e_score,
+                                    "all_query_terms_len": qlen,
+                                    "query_term_index": qti,
+                                    "index_node_id": uid,
+                                    "term_frequency": tf,
+                                    "field_length": int(lens[x][di]),
+                                })
+        z = ZeroToOne()
+        z.score_by_document_and_field = records
+        results = [[doc, 0.0] for doc in candidates]
+        z.finalize(results)
+        return [(d, s) for d, s in results]

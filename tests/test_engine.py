@@ -1,0 +1,168 @@
+"""End-to-end tests of the Ray Data index build + query engine:
+all golden fixtures (FIXTURES.md) plus randomized differential tests
+against the pure-Python reference model."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from probly_search_ray.build import build_index
+from probly_search_ray.refmodel import (
+    BM25, RefIndex, ZeroToOne, whitespace_tokenizer as tok)
+from probly_search_ray.search import SearchEngine
+from tests.fixtures import (
+    BM25_FIXTURES, DF1_DOC, DF1_QUERY, DOCS2, DOCS2B, QUERY_FIXTURES,
+    Z2O_FIXTURES, Z2O_MULTIFIELD, TOL, assert_results)
+
+
+def write_corpus(tmpdir, corpus, nfields):
+    os.makedirs(tmpdir, exist_ok=True)
+    items = corpus.items() if isinstance(corpus, dict) else enumerate(corpus)
+    items = sorted(items)
+    cols = {"doc_id": pa.array([k for k, _ in items], type=pa.uint64())}
+    for f in range(nfields):
+        cols[f"f{f}"] = pa.array([v[f] for _, v in items], type=pa.string())
+    path = os.path.join(tmpdir, "corpus.parquet")
+    pq.write_table(pa.table(cols), path)
+    return path
+
+
+def build_engine(tmp_path, corpus, batch_size=4096, block_postings=4096,
+                 num_shards=1, **kw):
+    items = list(corpus.items() if isinstance(corpus, dict) else enumerate(corpus))
+    nfields = len(items[0][1])
+    path = write_corpus(str(tmp_path), corpus, nfields)
+    idx_dir = os.path.join(str(tmp_path), "index")
+    build_index(path, idx_dir, key_col="doc_id",
+                field_cols=[f"f{f}" for f in range(nfields)],
+                batch_size=batch_size, block_postings=block_postings,
+                overwrite=True, **kw)
+    return SearchEngine(idx_dir, num_shards=num_shards)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("fid,corpus,query,expected", BM25_FIXTURES)
+def test_bm25_fixtures_engine(tmp_path, fid, corpus, query, expected):
+    eng = build_engine(tmp_path, corpus)
+    assert_results(eng.query(query, "bm25"), expected, fid)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("fid,query,expected", QUERY_FIXTURES)
+def test_query_fixtures_engine(tmp_path, fid, query, expected):
+    eng = build_engine(tmp_path, DOCS2)
+    assert_results(eng.query(query, "bm25"), expected, fid)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("fid,corpus,query,expected", Z2O_FIXTURES)
+def test_z2o_fixtures_engine(tmp_path, fid, corpus, query, expected):
+    eng = build_engine(tmp_path, corpus)
+    assert_results(eng.query(query, "zero_to_one"), expected, fid)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("fid,corpus,query,expected", Z2O_MULTIFIELD)
+def test_z2o_multifield_engine(tmp_path, fid, corpus, query, expected):
+    eng = build_engine(tmp_path, corpus)
+    assert_results(eng.query(query, "zero_to_one"), expected, fid)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_df_regression_engine(tmp_path):
+    eng = build_engine(tmp_path, [(DF1_DOC,)])
+    res = eng.query(DF1_QUERY, "bm25")
+    assert len(res) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_int_lifecycle_engine(tmp_path):
+    from probly_search_ray.maintain import remove_document, vacuum
+    eng = build_engine(tmp_path, DOCS2B)
+    assert_results(eng.query("abc", "bm25"),
+                   [(0, 0.6931471805599453), (1, 0.28104699650060755)], "INT-1a")
+    assert_results(eng.query("abc", "zero_to_one"), [(0, 1.0), (1, 0.75)],
+                   "INT-2a")
+    remove_document(eng.index_dir, 0)
+    eng2 = SearchEngine(eng.index_dir)
+    # tombstone only (no vacuum): zero_to_one INT-2b
+    assert_results(eng2.query("abc", "zero_to_one"), [(1, 0.75)], "INT-2b")
+    vacuum(eng.index_dir)
+    eng3 = SearchEngine(eng.index_dir)
+    assert_results(eng3.query("abc", "bm25"), [(1, 0.1166450426074421)],
+                   "INT-1b")
+
+
+def _rand_corpus(rng, n_docs, nfields, vocab, max_len=12):
+    corpus = {}
+    for d in range(n_docs):
+        fields = []
+        for _ in range(nfields):
+            k = int(rng.integers(0, max_len))
+            fields.append(" ".join(rng.choice(vocab, size=k)) if k else "")
+        corpus[d] = tuple(fields)
+    return corpus
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed,nfields", [(0, 1), (1, 1), (2, 2), (3, 2)])
+def test_differential_random(tmp_path, seed, nfields):
+    """DIFF-1: random corpora; engine must equal refmodel exactly for
+    both scorers, including prefix expansion and the merge quirks."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(["a", "ab", "abc", "abcd", "b", "ba", "bc", "ca",
+                      "cab", "the", "the,", "x", "xy", "xyz", "zebra",
+                      "zeb", "ze"])
+    corpus = _rand_corpus(rng, 40, nfields, vocab)
+    eng = build_engine(tmp_path, corpus, batch_size=7, block_postings=5)
+
+    ref = RefIndex(nfields)
+    for d in sorted(corpus):
+        ref.add_document(list(corpus[d]), tok, d)
+
+    queries = ["a", "ab", "abc", "b", "the", "x z", "a b", "zeb", "q",
+               "a a", "ab  ba", "the the,", "c", "z"]
+    boosts = [1.0] * nfields
+    for q in queries:
+        exp_b = ref.query(q, BM25(), tok, boosts)
+        got_b = eng.query(q, "bm25")
+        assert_results(got_b, exp_b, f"bm25:{q!r}")
+        exp_z = ref.query(q, ZeroToOne(), tok, boosts)
+        got_z = eng.query(q, "zero_to_one")
+        assert_results(got_z, exp_z, f"z2o:{q!r}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scale_invariance(tmp_path):
+    """SCALE-1: different batch/block sizes and shard counts produce
+    identical query results."""
+    rng = np.random.default_rng(7)
+    vocab = np.array(["alpha", "alp", "beta", "bet", "gamma", "g",
+                      "delta", "del", "eps"])
+    corpus = _rand_corpus(rng, 60, 1, vocab)
+    r1 = build_engine(tmp_path / "a", corpus, batch_size=4096)
+    r2 = build_engine(tmp_path / "b", corpus, batch_size=5, block_postings=3,
+                      num_shards=3)
+    for q in ["a", "alp", "b", "g", "delta eps", "alpha beta gamma"]:
+        a = r1.query(q, "bm25")
+        b = r2.query(q, "bm25")
+        assert_results(b, a, f"scale:{q!r}")
+        az = r1.query(q, "zero_to_one")
+        bz = r2.query(q, "zero_to_one")
+        assert_results(bz, az, f"scalez:{q!r}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_pool_query(tmp_path):
+    corpus = DOCS2
+    items = list(corpus.items())
+    path = write_corpus(str(tmp_path), corpus, 2)
+    idx_dir = os.path.join(str(tmp_path), "index")
+    build_index(path, idx_dir, key_col="doc_id", field_cols=["f0", "f1"],
+                overwrite=True)
+    eng = SearchEngine(idx_dir, num_shards=2, use_actors=True)
+    for fid, q, expected in QUERY_FIXTURES:
+        assert_results(eng.query(q, "bm25"), expected, f"actor:{fid}")
