@@ -68,6 +68,8 @@ def build_index(
     concurrency=None,
     overwrite: bool = False,
     resume: bool = True,
+    pre_transform=None,
+    read_cols: list[str] | None = None,
 ) -> dict:
     """Build (or resume building) an index over Parquet inputs.
 
@@ -106,7 +108,11 @@ def build_index(
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)
 
-        ds = ray.data.read_parquet(gfiles, columns=[key_col] + field_cols)
+        ds = ray.data.read_parquet(
+            gfiles, columns=read_cols or ([key_col] + field_cols))
+        if pre_transform is not None:
+            ds = ds.map_batches(pre_transform, batch_format="pyarrow",
+                                batch_size=batch_size, zero_copy_batch=True)
         enc = SegmentEncoder(key_col, field_cols, tokenizer=tokenizer,
                              block_postings=block_postings)
         kwargs = {}
