@@ -1,0 +1,178 @@
+"""Benchmark harness (driver contract).
+
+Default mode: ONE JSON line with the headline metric —
+  value   = wall seconds to build the inverted index over the synthetic
+            CC-style pages corpus (the flagship pipeline) at this
+            parallelism level
+  plus    build docs/s + MB/s, BM25 top-10 query latency p50/p95 (ms)
+          over a hot/cold/prefix query mix served by the shard-actor
+          pool, and per-pipeline timings of every queries() entry over
+          $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+--scaling: runs the build at num_cpus=8 and num_cpus=32 in fresh
+processes on the same corpus (the sandbox proxy for N → 4N nodes) and
+reports both throughputs + scaling efficiency.
+
+Env knobs: RAY_GRAFT_CPUS, GRAFT_SF_DIR, GRAFT_BENCH_DOCS,
+GRAFT_BENCH_MODE=build (skip query/pipeline phases — used by --scaling).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+BENCH_DIR = "/tmp/psr_bench"
+PAGES_DIR = os.path.join(BENCH_DIR, "pages")
+NUM_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "120000"))
+NUM_FILES = 32
+
+
+def _gen_corpus():
+    from probly_search_ray.sources.synth import generate_pages
+    files = generate_pages(PAGES_DIR, num_docs=NUM_DOCS, num_files=NUM_FILES,
+                           seed=42, vocab_size=50000, mean_len=60)
+    # warm the page cache so both scaling runs measure compute, not disk
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    return files
+
+
+def _text_bytes() -> int:
+    import duckdb
+    return duckdb.sql(
+        f"SELECT sum(strlen(text)) FROM read_parquet('{PAGES_DIR}/*.parquet')"
+    ).fetchone()[0]
+
+
+def bench_build(num_cpus: int) -> dict:
+    from probly_search_ray.pipelines.pages import build_pages_index
+    idx_dir = os.path.join(BENCH_DIR, f"index_cpus{num_cpus}")
+    # untimed warmup run: faults worker/actor memory in, warms the VM's
+    # lazily-allocated pages, so the timed run measures compute+shuffle
+    build_pages_index(PAGES_DIR, idx_dir, overwrite=True,
+                      files_per_group=NUM_FILES, batch_size=2048)
+    t0 = time.perf_counter()
+    build_pages_index(PAGES_DIR, idx_dir, overwrite=True,
+                      files_per_group=NUM_FILES, batch_size=2048)
+    wall = time.perf_counter() - t0
+    tb = _text_bytes()
+    return {"build_sec": round(wall, 3),
+            "docs_per_sec": round(NUM_DOCS / wall, 1),
+            "text_mb_per_sec": round(tb / 1e6 / wall, 2),
+            "index_dir": idx_dir}
+
+
+def bench_queries(idx_dir: str, num_cpus: int) -> dict:
+    import numpy as np
+    from probly_search_ray.search import SearchEngine
+    from probly_search_ray.sources.synth import make_vocab
+    eng = SearchEngine(idx_dir, num_shards=min(8, max(2, num_cpus // 4)),
+                       use_actors=True)
+    vocab = make_vocab(50000, 42)
+    rng = np.random.default_rng(9)
+    qs = []
+    for i in range(120):
+        kind = i % 4
+        if kind == 0:          # hot unigram (zipf head)
+            qs.append(str(vocab[int(rng.integers(0, 20))]))
+        elif kind == 1:        # cold unigram
+            qs.append(str(vocab[int(rng.integers(5000, 50000))]))
+        elif kind == 2:        # bigram
+            a, b = rng.integers(0, 2000, 2)
+            qs.append(f"{vocab[int(a)]} {vocab[int(b)]}")
+        else:                  # short prefix (expansion-heavy)
+            qs.append(str(vocab[int(rng.integers(0, 200))])[:3])
+    for q in qs[:10]:
+        eng.query(q, "bm25", k=10)
+    lats = []
+    for q in qs:
+        t0 = time.perf_counter()
+        eng.query(q, "bm25", k=10)
+        lats.append((time.perf_counter() - t0) * 1000)
+    lats.sort()
+    return {"query_p50_ms": round(statistics.median(lats), 2),
+            "query_p95_ms": round(lats[int(len(lats) * 0.95)], 2),
+            "num_queries": len(lats)}
+
+
+def bench_pipelines(sf_dir: str) -> dict:
+    from probly_search_ray.pipelines.queries import QUERIES
+    out = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mode = os.environ.get("GRAFT_BENCH_MODE", "full")
+
+    import ray
+    import logging
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    _gen_corpus()
+    build = bench_build(num_cpus)
+    result = {
+        "metric": "pages index build wall time (flagship pipeline), "
+                  f"{NUM_DOCS} synthetic CC-style docs",
+        "value": build["build_sec"],
+        "unit": "sec",
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "build": build,
+    }
+    if mode == "full":
+        result["query_latency"] = bench_queries(build["index_dir"], num_cpus)
+        result["queries"] = bench_pipelines(sf_dir)
+    ray.shutdown()
+    print(json.dumps(result))
+    return result
+
+
+def scaling():
+    env_base = dict(os.environ, GRAFT_BENCH_MODE="build")
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True, check=True)
+        out[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
+    t8 = out[8]["value"]
+    t32 = out[32]["value"]
+    eff = (t8 / t32) / 4.0
+    res = {
+        "metric": "scaling efficiency, same build at num_cpus=8 vs 32 "
+                  "(sandbox proxy for N → 4N nodes)",
+        "sec_8": t8, "sec_32": t32,
+        "docs_per_sec_8": out[8]["build"]["docs_per_sec"],
+        "docs_per_sec_32": out[32]["build"]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "pass_ge_0.8": eff >= 0.8,
+    }
+    print(json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -41,6 +41,22 @@ from probly_search_ray.stages.segment import SegmentEncoder, read_docmeta_ipc
 from probly_search_ray.state.manifest import Manifest, Stats, Tombstones
 
 
+class _FusedEncoder:
+    """Actor-pool stage fusing the optional pre-transform (e.g. HTML
+    extraction) with segment encoding — one pool, one pass."""
+
+    def __init__(self, key_col, field_cols, tokenizer, block_postings,
+                 pre_transform=None):
+        self.pre = pre_transform
+        self.enc = SegmentEncoder(key_col, field_cols, tokenizer=tokenizer,
+                                  block_postings=block_postings)
+
+    def __call__(self, batch):
+        if self.pre is not None:
+            batch = self.pre(batch)
+        return self.enc(batch)
+
+
 def _expand_paths(paths) -> list[str]:
     if isinstance(paths, str):
         paths = [paths]
@@ -76,6 +92,8 @@ def build_index(
     Returns the manifest data.  Docs must carry unique ``key_col`` ids;
     insertion order (for reference-order parity) is ascending doc_id.
     """
+    from probly_search_ray.functions.mem import tune_allocator
+    tune_allocator()
     field_cols = field_cols or ["text"]
     if overwrite and os.path.exists(index_dir):
         shutil.rmtree(index_dir)
@@ -110,16 +128,16 @@ def build_index(
 
         ds = ray.data.read_parquet(
             gfiles, columns=read_cols or ([key_col] + field_cols))
-        if pre_transform is not None:
-            ds = ds.map_batches(pre_transform, batch_format="pyarrow",
-                                batch_size=batch_size, zero_copy_batch=True)
-        enc = SegmentEncoder(key_col, field_cols, tokenizer=tokenizer,
-                             block_postings=block_postings)
-        kwargs = {}
-        if concurrency is not None:
-            kwargs["concurrency"] = concurrency
+        # ONE fused stage: (extract →) tokenize+count+encode.  Stateless
+        # task pool: setup is trivial, so tasks on Ray's long-lived
+        # worker pool amortize per-process warmup just as well as actors
+        # and reuse warm workers across build invocations.
+        fused = _FusedEncoder(
+            key_col=key_col, field_cols=field_cols, tokenizer=tokenizer,
+            block_postings=block_postings, pre_transform=pre_transform)
+        kwargs = {"concurrency": concurrency} if concurrency else {}
         rows = ds.map_batches(
-            enc, batch_format="pyarrow", batch_size=batch_size,
+            fused, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True, **kwargs)
         rows = rows.sort(["term", "doc_lo"])
         rows.write_parquet(tmp_dir)
@@ -138,10 +156,16 @@ def build_index(
             n_bytes += os.path.getsize(f)
             # term range: files are term-sorted, so first/last value of the
             # term column are exact (parquet footer stats can truncate
-            # long strings, so don't trust them)
-            tcol = pads.dataset(f).to_table(columns=["term"])["term"]
-            tmin = tcol[0].as_py() if len(tcol) else None
-            tmax = tcol[-1].as_py() if len(tcol) else None
+            # long strings, so don't trust them); read only the first and
+            # last row groups' term column
+            nrg = pf.metadata.num_row_groups
+            tmin = tmax = None
+            if nrg and pf.metadata.num_rows:
+                first = pf.read_row_group(0, columns=["term"])["term"]
+                last = first if nrg == 1 else \
+                    pf.read_row_group(nrg - 1, columns=["term"])["term"]
+                tmin = first[0].as_py()
+                tmax = last[-1].as_py()
             term_files.append({"path": os.path.relpath(f, index_dir),
                                "term_min": tmin, "term_max": tmax,
                                "rows": pf.metadata.num_rows})

@@ -168,6 +168,25 @@ class ShardData:
         m = s > 0.0
         return docs[m], s[m]
 
+    def score_bm25_many(self, terms: list[str], idf_boosts: list[float],
+                        fields_boost, avgs, k1: float, b: float,
+                        tomb: np.ndarray):
+        """One RPC for all of a query term's expansions owned by this
+        shard: returns [(rank_idx, docs, scores), ...]."""
+        out = []
+        for i, (t, ib) in enumerate(zip(terms, idf_boosts)):
+            docs, s = self.score_bm25(t, ib, fields_boost, avgs, k1, b, tomb)
+            if len(docs):
+                out.append((i, docs, s))
+        return out
+
+    def df_adjusted_many(self, terms: list[str], tomb: np.ndarray) -> list[int]:
+        return [self.df_adjusted(t, tomb) for t in terms]
+
+    def gather_postings_many(self, terms: list[str], tomb: np.ndarray):
+        return [(i, self.gather_postings(t, tomb))
+                for i, t in enumerate(terms)]
+
     def gather_postings(self, term: str, tomb: np.ndarray):
         """Raw (docs, tfs, lens) for scorer plugins (zero_to_one etc.)."""
         p = self._postings(term)
@@ -324,11 +343,15 @@ class SearchEngine:
             else [t for t, _, _ in all_exp]
         # adjusted df (only needs decode when tombstones exist)
         df_map = {}
-        for t, raw_df, _ in all_exp:
-            if len(self.tomb):
-                owner = self._owner_shard(t)
-                df_map[t] = self._call_one(owner, "df_adjusted", t, self.tomb)
-            else:
+        if len(self.tomb):
+            terms_list = [t for t, _, _ in all_exp]
+            per_shard = self._call("df_adjusted_many", terms_list, self.tomb)
+            for lst in per_shard:
+                for t, d in zip(terms_list, lst):
+                    if d > 0:
+                        df_map[t] = d
+        else:
+            for t, raw_df, _ in all_exp:
                 df_map[t] = raw_df
         ordered = [t for t in ordered if df_map.get(t, 0) > 0]
         return ordered, df_map
@@ -354,8 +377,8 @@ class SearchEngine:
             ordered, df_map = self._expansions_for(term, expand)
             if not ordered:
                 continue
-            docs_parts, s_parts, rank_parts = [], [], []
-            for rank, e in enumerate(ordered):
+            idf_boosts = []
+            for e in ordered:
                 df = df_map[e]
                 freq = min(n_docs, df)
                 diff = n_docs - freq
@@ -365,13 +388,16 @@ class SearchEngine:
                 else:
                     boost = math.log(1.0 + 1.0 / (
                         1.0 + len(e.encode()) - len(term.encode())))
-                parts = self._call("score_bm25", e, idf * boost, fields_boost,
-                                   avgs, k1, b, self.tomb)
-                for docs_e, s_e in parts:
-                    if len(docs_e):
-                        docs_parts.append(docs_e)
-                        s_parts.append(s_e)
-                        rank_parts.append(np.full(len(docs_e), rank, np.int64))
+                idf_boosts.append(idf * boost)
+            docs_parts, s_parts, rank_parts = [], [], []
+            # ONE batched call per shard for all expansions of this term
+            per_shard = self._call("score_bm25_many", ordered, idf_boosts,
+                                   fields_boost, avgs, k1, b, self.tomb)
+            for shard_out in per_shard:
+                for rank, docs_e, s_e in shard_out:
+                    docs_parts.append(docs_e)
+                    s_parts.append(s_e)
+                    rank_parts.append(np.full(len(docs_e), rank, np.int64))
             if not docs_parts:
                 continue
             docs_all = np.concatenate(docs_parts)
@@ -422,14 +448,15 @@ class SearchEngine:
                 continue
             ordered, df_map = self._expansions_for(term, expand)
             tl = float(len(term.encode()))
-            for e in ordered:
+            per_shard = self._call("gather_postings_many", ordered, self.tomb)
+            flat = [(i, p) for lst in per_shard for i, p in lst if p is not None]
+            flat.sort(key=lambda x: x[0])  # expansion rank order
+            for i, p in flat:
+                e = ordered[i]
                 uid = node_uid.setdefault(e, len(node_uid))
                 te = float(len(e.encode()))
                 e_score = 1.0 - abs(te - tl) / te
-                parts = self._call("gather_postings", e, self.tomb)
-                for p in parts:
-                    if p is None:
-                        continue
+                if True:
                     docs, tfs, lens = p
                     for di in range(len(docs)):
                         doc = int(docs[di])

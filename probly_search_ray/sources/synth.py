@@ -26,15 +26,23 @@ _SYL = ["ba", "ne", "to", "ri", "mu", "sa", "ke", "lo", "vi", "da",
 
 
 def make_vocab(vocab_size: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pronounceable vocabulary (vectorized; 1-4 syllable
+    words give ~168k distinct combinations)."""
     rng = np.random.default_rng(seed)
-    words = []
-    seen = set()
+    syl = np.asarray(_SYL)
+    words: list[str] = []
+    seen: set[str] = set()
     while len(words) < vocab_size:
-        k = int(rng.integers(1, 4))
-        w = "".join(rng.choice(_SYL, size=k))
-        if w not in seen:
-            seen.add(w)
-            words.append(w)
+        need = vocab_size - len(words)
+        ks = rng.integers(1, 5, size=need * 2)
+        parts = rng.integers(0, len(syl), size=(len(ks), 4))
+        for row, k in zip(parts, ks):
+            w = "".join(syl[row[:k]])
+            if w not in seen:
+                seen.add(w)
+                words.append(w)
+                if len(words) == vocab_size:
+                    break
     return np.asarray(words)
 
 

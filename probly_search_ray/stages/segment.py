@@ -83,6 +83,8 @@ class SegmentEncoder:
 
     def __init__(self, key_col: str, field_cols: list[str],
                  tokenizer="whitespace", block_postings: int = 4096):
+        from probly_search_ray.functions.mem import tune_allocator
+        tune_allocator()
         self.key_col = key_col
         self.field_cols = list(field_cols)
         self.tok = get_tokenizer(tokenizer)
