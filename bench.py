@@ -148,7 +148,11 @@ def main():
 
 
 def scaling():
-    env_base = dict(os.environ, GRAFT_BENCH_MODE="build")
+    # a compute-dominated corpus so the measurement reflects scalable
+    # work, not fixed per-job overhead (sort barrier, session setup)
+    docs = os.environ.get("GRAFT_SCALING_DOCS", "600000")
+    env_base = dict(os.environ, GRAFT_BENCH_MODE="build",
+                    GRAFT_BENCH_DOCS=docs)
     out = {}
     for ncpu in (8, 32):
         env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))

@@ -201,6 +201,19 @@ class ShardData:
         return docs, tfs, lens
 
 
+class _SizeOnlyDict(dict):
+    """Stand-in for the reference's ``docs`` map in ``before_each`` —
+    calculators only use ``len(docs)`` (= N); the actual doc-meta is
+    denormalized into the postings."""
+
+    def __init__(self, n: int):
+        super().__init__()
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+
 def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     """Membership of values in a sorted array (vectorized anti-join)."""
     idx = np.searchsorted(sorted_arr, values)
@@ -317,6 +330,9 @@ class SearchEngine:
                                    k1, b, expand)
         elif scorer == "zero_to_one":
             res = self._query_zero_to_one(query_terms, qlen, expand)
+        elif hasattr(scorer, "score"):
+            res = self._query_custom(scorer, query_terms, qlen, fields_boost,
+                                     avgs, n_docs, expand)
         else:
             raise ValueError(f"unknown scorer {scorer!r}")
         res.sort(key=lambda r: (-r[1], r[0]))
@@ -435,6 +451,72 @@ class SearchEngine:
             o = np.argsort(md, kind="stable")
             g_docs, g_scores = md[o], ms[o]
         return [(int(d), float(s)) for d, s in zip(g_docs, g_scores)]
+
+    # .. custom ScoreCalculator (U3 hook, src/score/calculator.rs:33-70) ....
+
+    def _query_custom(self, calc, query_terms, qlen, fields_boost, avgs,
+                      n_docs, expand):
+        """Generic path for user ScoreCalculator implementations
+        (``probly_search_ray.refmodel.ScoreCalculator`` contract).
+
+        Faithful to the reference visit order: expansions in trie order,
+        postings newest-first (descending doc id), ``score()`` invoked
+        once per *occurrence* — so stateful calculators observe exactly
+        what the reference's posting-list walk would produce.
+        """
+        from probly_search_ray.refmodel import FieldDetails, TermData, ZeroToOne
+        fields = []
+        for f in range(self.num_fields):
+            fd = FieldDetails()
+            fd.sum = self.stats.field_sum(f)
+            fd.avg = self.stats.field_avg(f)
+            fields.append(fd)
+        docs_proxy = _SizeOnlyDict(n_docs)
+        scores: dict[int, float] = {}
+        node_uid: dict[str, int] = {}
+        is_z2o = isinstance(calc, ZeroToOne)
+        for qti, term in enumerate(query_terms):
+            if term == "":
+                continue
+            ordered, df_map = self._expansions_for(term, expand)
+            visited: set[int] = set()
+            per_shard = self._call("gather_postings_many", ordered, self.tomb)
+            by_rank = {}
+            for lst in per_shard:
+                for i, p in lst:
+                    if p is not None:
+                        by_rank[i] = p
+            for rank in sorted(by_rank):
+                e = ordered[rank]
+                uid = node_uid.setdefault(e, len(node_uid))
+                td = TermData(qti, qlen, term, e)
+                pre = calc.before_each(td, df_map[e], docs_proxy)
+                docs, tfs, lens = by_rank[rank]
+                # newest-first = descending doc id (postings prepended,
+                # src/index.rs:422-433); one score() call per occurrence
+                for di in range(len(docs) - 1, -1, -1):
+                    key = int(docs[di])
+                    tf = [int(t[di]) for t in tfs]
+                    fl = [int(l[di]) for l in lens]
+                    n_vis = int(sum(tf))
+                    for _ in range(max(n_vis, 1)):
+                        if is_z2o:
+                            calc._current_key = key
+                        s = calc.score(pre, tf, fl, uid, fields_boost,
+                                       fields, td)
+                        if s is not None:
+                            prev = scores.get(key)
+                            if prev is None:
+                                new = s
+                            elif key in visited:
+                                new = max(prev, s)
+                            else:
+                                new = prev + s
+                            scores[key] = new
+                        visited.add(key)
+        results = [[k, v] for k, v in scores.items()]
+        calc.finalize(results)
+        return [(k, v) for k, v in results]
 
     # .. zero_to_one ........................................................
 
