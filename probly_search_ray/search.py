@@ -201,6 +201,18 @@ class ShardData:
         return docs, tfs, lens
 
 
+def _merge_max(d1, s1, d2, s2):
+    """Merge two (sorted docs, scores) maps taking the per-doc max."""
+    if not len(d1):
+        return d2, s2
+    d = np.concatenate((d1, d2))
+    s = np.concatenate((s1, s2))
+    o = np.argsort(d, kind="stable")
+    d_s, s_s = d[o], s[o]
+    st = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
+    return d_s[st], np.maximum.reduceat(s_s, st)
+
+
 class _SizeOnlyDict(dict):
     """Stand-in for the reference's ``docs`` map in ``before_each`` —
     calculators only use ``len(docs)`` (= N); the actual doc-meta is
@@ -327,7 +339,7 @@ class SearchEngine:
 
         if scorer == "bm25":
             res = self._query_bm25(query_terms, fields_boost, n_docs, avgs,
-                                   k1, b, expand)
+                                   k1, b, expand, k)
         elif scorer == "zero_to_one":
             res = self._query_zero_to_one(query_terms, qlen, expand)
         elif hasattr(scorer, "score"):
@@ -384,7 +396,12 @@ class SearchEngine:
         return self.shards[0]
 
     def _query_bm25(self, query_terms, fields_boost, n_docs, avgs, k1, b,
-                    expand):
+                    expand, k=None):
+        nonempty = [t for t in query_terms if t != ""]
+        # Exact top-k pruning is valid only for single-term queries where
+        # the merge is a pure per-doc max over expansions (prev is always
+        # None, so expansion order cannot affect scores).
+        prune = k is not None and len(nonempty) == 1
         g_docs = np.empty(0, dtype=np.uint64)
         g_scores = np.empty(0, dtype=np.float64)
         for term in query_terms:
@@ -406,6 +423,48 @@ class SearchEngine:
                         1.0 + len(e.encode()) - len(term.encode())))
                 idf_boosts.append(idf * boost)
             docs_parts, s_parts, rank_parts = [], [], []
+            if prune:
+                # process expansions in descending score upper bound;
+                # stop when the bound can no longer enter the top-k.
+                # ub(e) = idf·boost · Σ_f boost_f · (k1+1)  (tf_norm < k1+1)
+                ub_coef = sum(fields_boost) * (k1 + 1.0)
+                order_ub = sorted(range(len(ordered)),
+                                  key=lambda i: -idf_boosts[i])
+                CHUNK = 16
+                pos = 0
+                while pos < len(order_ub):
+                    if len(g_scores) >= k:
+                        kth = np.partition(g_scores, len(g_scores) - k)[
+                            len(g_scores) - k]
+                    else:
+                        kth = -np.inf
+                    chunk = [i for i in order_ub[pos:pos + CHUNK]
+                             if idf_boosts[i] * ub_coef > kth]
+                    if not chunk:
+                        break
+                    terms_c = [ordered[i] for i in chunk]
+                    coefs_c = [idf_boosts[i] for i in chunk]
+                    per_shard = self._call(
+                        "score_bm25_many", terms_c, coefs_c, fields_boost,
+                        avgs, k1, b, self.tomb)
+                    dp, sp = [], []
+                    for shard_out in per_shard:
+                        for _, docs_e, s_e in shard_out:
+                            dp.append(docs_e)
+                            sp.append(s_e)
+                    if dp:
+                        d_all = np.concatenate(dp)
+                        s_all = np.concatenate(sp)
+                        o = np.argsort(d_all, kind="stable")
+                        d_s, s_s = d_all[o], s_all[o]
+                        st = np.flatnonzero(np.concatenate(
+                            ([True], d_s[1:] != d_s[:-1])))
+                        d_u = d_s[st]
+                        s_u = np.maximum.reduceat(s_s, st)
+                        g_docs, g_scores = _merge_max(g_docs, g_scores,
+                                                     d_u, s_u)
+                    pos += CHUNK
+                break
             # ONE batched call per shard for all expansions of this term
             per_shard = self._call("score_bm25_many", ordered, idf_boosts,
                                    fields_boost, avgs, k1, b, self.tomb)

@@ -166,3 +166,17 @@ def test_actor_pool_query(tmp_path):
     eng = SearchEngine(idx_dir, num_shards=2, use_actors=True)
     for fid, q, expected in QUERY_FIXTURES:
         assert_results(eng.query(q, "bm25"), expected, f"actor:{fid}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_pruning_exact(tmp_path):
+    """Single-term top-k with expansion pruning == unpruned full query."""
+    rng = np.random.default_rng(11)
+    vocab = np.array([p + s for p in ["ba", "be", "bo"]
+                      for s in ["", "x", "xy", "xyz", "r", "rr", "q"]])
+    corpus = _rand_corpus(rng, 120, 1, vocab, max_len=10)
+    eng = build_engine(tmp_path, corpus)
+    for q in ["b", "ba", "bex", "bo"]:
+        full = eng.query(q, "bm25")[:5]
+        pruned = eng.query(q, "bm25", k=5)
+        assert_results(pruned, full, f"prune:{q!r}")
