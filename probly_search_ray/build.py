@@ -41,6 +41,45 @@ from probly_search_ray.stages.segment import SegmentEncoder, read_docmeta_ipc
 from probly_search_ray.state.manifest import Manifest, Stats, Tombstones
 
 
+@ray.remote(num_cpus=1)
+def _finalize_file(path: str, num_fields: int):
+    """Per-output-file finalize: exact term range (files are term-sorted;
+    footer stats can truncate strings, so read first/last row group) and
+    doc-meta sentinel extraction (predicate pushdown skips everything
+    else).  Runs as a Ray task so group finalize scales with cores."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from probly_search_ray.stages.segment import read_docmeta_ipc
+
+    pf = pq.ParquetFile(path)
+    nrg = pf.metadata.num_row_groups
+    tmin = tmax = None
+    if nrg and pf.metadata.num_rows:
+        first = pf.read_row_group(0, columns=["term"])["term"]
+        last = first if nrg == 1 else \
+            pf.read_row_group(nrg - 1, columns=["term"])["term"]
+        tmin = first[0].as_py()
+        tmax = last[-1].as_py()
+    rec = {"term_min": tmin, "term_max": tmax, "rows": pf.metadata.num_rows}
+    frag = pads.dataset(path).to_table(filter=pads.field("term") == "")
+    num_docs = 0
+    sums = [0] * num_fields
+    meta = None
+    if len(frag):
+        tables = []
+        for blob in frag["blob"].to_pylist():
+            mt = read_docmeta_ipc(blob)
+            tables.append(mt)
+            num_docs += len(mt)
+            for fi in range(num_fields):
+                sums[fi] += int(np.sum(mt[f"len_{fi}"].to_numpy()))
+        meta = ray.put(pa.concat_tables(tables))
+    return rec, num_docs, sums, meta
+
+
 class _FusedEncoder:
     """Actor-pool stage fusing the optional pre-transform (e.g. HTML
     extraction) with segment encoding — one pool, one pass."""
@@ -142,47 +181,32 @@ def build_index(
         rows = rows.sort(["term", "doc_lo"])
         rows.write_parquet(tmp_dir)
         os.replace(tmp_dir, out_dir)
+        t_job = time.perf_counter() - t0
 
-        # --- group finalize: doc-meta extraction + lineage record -------
+        # --- group finalize (parallel ray tasks): term ranges + doc-meta
+        out_files = sorted(globmod.glob(os.path.join(out_dir, "*.parquet")))
+        meta_dir = os.path.join(index_dir, "docmeta")
+        os.makedirs(meta_dir, exist_ok=True)
+        results = ray.get([_finalize_file.remote(f, len(field_cols))
+                           for f in out_files])
         term_files = []
         num_docs = 0
         sums = np.zeros(len(field_cols), dtype=np.int64)
-        meta_tables = []
+        meta_refs = []
         n_rows = 0
         n_bytes = 0
-        for f in sorted(globmod.glob(os.path.join(out_dir, "*.parquet"))):
-            pf = pq.ParquetFile(f)
-            n_rows += pf.metadata.num_rows
+        for f, (rec, nd, fsums, meta_ref) in zip(out_files, results):
+            rec["path"] = os.path.relpath(f, index_dir)
+            term_files.append(rec)
+            n_rows += rec["rows"]
             n_bytes += os.path.getsize(f)
-            # term range: files are term-sorted, so first/last value of the
-            # term column are exact (parquet footer stats can truncate
-            # long strings, so don't trust them); read only the first and
-            # last row groups' term column
-            nrg = pf.metadata.num_row_groups
-            tmin = tmax = None
-            if nrg and pf.metadata.num_rows:
-                first = pf.read_row_group(0, columns=["term"])["term"]
-                last = first if nrg == 1 else \
-                    pf.read_row_group(nrg - 1, columns=["term"])["term"]
-                tmin = first[0].as_py()
-                tmax = last[-1].as_py()
-            term_files.append({"path": os.path.relpath(f, index_dir),
-                               "term_min": tmin, "term_max": tmax,
-                               "rows": pf.metadata.num_rows})
-            # doc-meta sentinel rows (term == "") — predicate pushdown makes
-            # this skip every row group whose min term > ""
-            frag = pads.dataset(f).to_table(filter=pads.field("term") == "")
-            for blob in frag["blob"].to_pylist():
-                mt = read_docmeta_ipc(blob)
-                meta_tables.append(mt)
-                num_docs += len(mt)
-                for fi in range(len(field_cols)):
-                    sums[fi] += int(np.sum(mt[f"len_{fi}"].to_numpy()))
-        # write docmeta for the group
-        if meta_tables:
+            num_docs += nd
+            sums += np.asarray(fsums, dtype=np.int64)
+            if meta_ref is not None:
+                meta_refs.append(meta_ref)
+        if meta_refs:
             import pyarrow as pa
-            meta_dir = os.path.join(index_dir, "docmeta")
-            os.makedirs(meta_dir, exist_ok=True)
+            meta_tables = ray.get(meta_refs)
             tmp = os.path.join(meta_dir, f"group={gid}.parquet.tmp")
             pq.write_table(pa.concat_tables(meta_tables), tmp)
             os.replace(tmp, os.path.join(meta_dir, f"group={gid}.parquet"))
@@ -196,6 +220,8 @@ def build_index(
             "term_rows": int(n_rows),
             "term_bytes": int(n_bytes),
             "wall_sec": round(wall, 3),
+            "job_sec": round(t_job, 3),
+            "finalize_sec": round(wall - t_job, 3),
             "docs_per_sec": round(num_docs / wall, 1) if wall > 0 else None,
         })
 

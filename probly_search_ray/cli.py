@@ -1,0 +1,129 @@
+"""CLI entrypoints — the ``ray job submit`` surface.
+
+On a real cluster:
+
+    ray job submit --working-dir . -- \
+        python -m probly_search_ray.cli build \
+        --input 's3://bucket/pages/*.parquet' --index /mnt/index \
+        --fields title,text
+
+In this sandbox Ray runs local-mode; the CLI guards its own
+``ray.init`` so the driver can also import this module with Ray
+already initialised.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+
+def cmd_build(args):
+    _ensure_ray()
+    from probly_search_ray.build import build_index
+    man = build_index(
+        args.input, args.index,
+        key_col=args.key, field_cols=args.fields.split(","),
+        files_per_group=args.files_per_group, batch_size=args.batch_size,
+        block_postings=args.block_postings, overwrite=args.overwrite,
+        resume=not args.no_resume)
+    groups = man["groups"]
+    total = sum(g["num_docs"] for g in groups.values())
+    print(json.dumps({"groups": len(groups), "docs": total,
+                      "per_group_docs_per_sec": {
+                          k: g["docs_per_sec"] for k, g in groups.items()}}))
+
+
+def cmd_build_pages(args):
+    _ensure_ray()
+    from probly_search_ray.pipelines.pages import build_pages_index
+    man = build_pages_index(
+        args.input, args.index, files_per_group=args.files_per_group,
+        batch_size=args.batch_size, overwrite=args.overwrite,
+        resume=not args.no_resume)
+    print(json.dumps({"groups": len(man["groups"])}))
+
+
+def cmd_query(args):
+    _ensure_ray()
+    from probly_search_ray.search import SearchEngine
+    eng = SearchEngine(args.index, num_shards=args.shards,
+                       use_actors=args.actors)
+    res = eng.query(args.query, args.scorer, k=args.k)
+    print(json.dumps([{"doc_id": d, "score": s} for d, s in res]))
+
+
+def cmd_remove(args):
+    from probly_search_ray.maintain import remove_document
+    ok = remove_document(args.index, args.doc_id)
+    print(json.dumps({"removed": ok}))
+
+
+def cmd_vacuum(args):
+    _ensure_ray()
+    from probly_search_ray.maintain import vacuum
+    vacuum(args.index)
+    print(json.dumps({"vacuumed": True}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="probly_search_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index over parquet docs")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--key", default="doc_id")
+    b.add_argument("--fields", default="text")
+    b.add_argument("--files-per-group", type=int, default=64)
+    b.add_argument("--batch-size", type=int, default=4096)
+    b.add_argument("--block-postings", type=int, default=4096)
+    b.add_argument("--overwrite", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    bp = sub.add_parser("build-pages", help="flagship CC-pages pipeline")
+    bp.add_argument("--input", required=True)
+    bp.add_argument("--index", required=True)
+    bp.add_argument("--files-per-group", type=int, default=64)
+    bp.add_argument("--batch-size", type=int, default=2048)
+    bp.add_argument("--overwrite", action="store_true")
+    bp.add_argument("--no-resume", action="store_true")
+    bp.set_defaults(fn=cmd_build_pages)
+
+    q = sub.add_parser("query", help="query a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--scorer", default="bm25",
+                   choices=["bm25", "zero_to_one"])
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--shards", type=int, default=1)
+    q.add_argument("--actors", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    r = sub.add_parser("remove", help="tombstone a document")
+    r.add_argument("--index", required=True)
+    r.add_argument("--doc-id", type=int, required=True)
+    r.set_defaults(fn=cmd_remove)
+
+    v = sub.add_parser("vacuum", help="compact away tombstones")
+    v.add_argument("--index", required=True)
+    v.set_defaults(fn=cmd_vacuum)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Bulk (throughput-mode) search: score a Dataset of queries against a
+built index with an actor pool.
+
+Each actor loads the full index once (``__init__``) and serves batches
+of query strings — the map_batches actor-pool pattern for stateful
+serving.  For a term-range-sharded deployment at scale, each actor
+would hold one shard and a second stage would merge per-shard top-k;
+single-node, each actor holds the whole (small) index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from probly_search_ray.functions.mem import tune_allocator
+
+
+class BulkSearcher:
+    def __init__(self, index_dir: str, scorer: str = "bm25", k: int = 10):
+        tune_allocator()
+        from probly_search_ray.search import SearchEngine
+        self.eng = SearchEngine(index_dir, num_shards=1, use_actors=False)
+        self.scorer = scorer
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, q in zip(batch["query_id"], batch["query"]):
+            res = self.eng.query(q, self.scorer, k=self.k)
+            for rank, (doc, score) in enumerate(res):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc)
+                out_s.append(score)
+        return pd.DataFrame({
+            "query_id": np.asarray(out_q, dtype=np.int64),
+            "rank": np.asarray(out_r, dtype=np.int32),
+            "doc_id": np.asarray(out_d, dtype=np.int64),
+            "score": np.asarray(out_s, dtype=np.float64),
+        })
+
+
+def bulk_search(queries_ds, index_dir: str, scorer: str = "bm25",
+                k: int = 10, concurrency: int = 4, batch_size: int = 64):
+    """queries_ds: Dataset with (query_id:int64, query:string) →
+    Dataset of (query_id, rank, doc_id, score)."""
+    return queries_ds.map_batches(
+        BulkSearcher,
+        fn_constructor_args=(index_dir, scorer, k),
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

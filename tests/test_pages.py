@@ -95,3 +95,23 @@ def test_resume_skips_committed_groups(tmp_path, pages_dir):
     e1, e2 = SearchEngine(idx_dir), SearchEngine(fresh)
     for q in ["ba", "ne", "to ri"]:
         assert e1.query(q, "bm25") == e2.query(q, "bm25")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bulk_search(tmp_path, pages_dir):
+    import pandas as pd
+    import ray.data as rd
+    from probly_search_ray.pipelines.bulk import bulk_search
+    idx_dir = os.path.join(str(tmp_path), "bidx")
+    build_pages_index(pages_dir, idx_dir, overwrite=True)
+    eng = SearchEngine(idx_dir)
+    queries = ["ba", "ne to", "mu", "quafen", "xxxx"]
+    qds = rd.from_pandas(pd.DataFrame({
+        "query_id": range(len(queries)), "query": queries}))
+    out = bulk_search(qds, idx_dir, k=5, concurrency=2).to_pandas()
+    for qid, q in enumerate(queries):
+        want = eng.query(q, "bm25", k=5)
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert len(got) == len(want)
+        for (d, s), (_, row) in zip(want, got.iterrows()):
+            assert row["doc_id"] == d and abs(row["score"] - s) < 1e-9
