@@ -207,7 +207,34 @@ def events_hourly(sf_dir: str):
     return pdf
 
 
+def sessions(sf_dir: str):
+    """Gap-based sessionization (30 min) of the events log."""
+    from probly_search_ray.stages.sessions import sessionize
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    return sessionize(ds, gap_minutes=30)
+
+
+def dup_clusters(sf_dir: str):
+    """Exact-duplicate cluster mapping: (doc_id, cluster_id=min doc id
+    of identical-text group)."""
+    from ray.data.aggregate import Min
+    from probly_search_ray.stages.dedup import add_content_hash
+
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_content_hash, batch_format="pyarrow")
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": g["doc_id"],
+                             "cluster_id": g["doc_id"].min()})
+
+    return hashed.groupby("content_hash").map_groups(
+        assign, batch_format="pandas")
+
+
 QUERIES = {
+    "sessions": sessions,
+    "dup_clusters": dup_clusters,
     "term_df": term_df,
     "top_terms": top_terms,
     "index_stats": index_stats,
@@ -245,6 +272,31 @@ df AS (SELECT t, count(*)::BIGINT AS df FROM tok GROUP BY t)
 """
 
 ORACLES = {
+    "sessions": """
+        WITH e AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT user_id, ts, value,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM e
+        )
+        SELECT user_id, min(ts) AS session_start,
+               count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+        FROM s GROUP BY user_id, sess_id
+    """,
+    "dup_clusters": """
+        SELECT d.doc_id, m.cluster_id
+        FROM documents d
+        JOIN (SELECT text, min(doc_id) AS cluster_id
+              FROM documents GROUP BY text) m USING (text)
+    """,
     "term_df": f"""
         SELECT t AS term, count(*)::BIGINT AS df
         FROM (SELECT unnest({_TOK}) AS t FROM documents)
