@@ -54,14 +54,17 @@ def _text_bytes() -> int:
 def bench_build(num_cpus: int) -> dict:
     from probly_search_ray.pipelines.pages import build_pages_index
     idx_dir = os.path.join(BENCH_DIR, f"index_cpus{num_cpus}")
-    # untimed warmup run: faults worker/actor memory in, warms the VM's
-    # lazily-allocated pages, so the timed run measures compute+shuffle
+    # untimed warmup run: faults worker memory in, warms the VM's
+    # lazily-allocated pages, so timed runs measure compute+shuffle;
+    # take the min of 2 timed runs (this VM's noise is large)
     build_pages_index(PAGES_DIR, idx_dir, overwrite=True,
                       files_per_group=NUM_FILES, batch_size=2048)
-    t0 = time.perf_counter()
-    build_pages_index(PAGES_DIR, idx_dir, overwrite=True,
-                      files_per_group=NUM_FILES, batch_size=2048)
-    wall = time.perf_counter() - t0
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        build_pages_index(PAGES_DIR, idx_dir, overwrite=True,
+                          files_per_group=NUM_FILES, batch_size=2048)
+        wall = min(wall, time.perf_counter() - t0)
     tb = _text_bytes()
     return {"build_sec": round(wall, 3),
             "docs_per_sec": round(NUM_DOCS / wall, 1),
@@ -150,7 +153,7 @@ def main():
 def scaling():
     # a compute-dominated corpus so the measurement reflects scalable
     # work, not fixed per-job overhead (sort barrier, session setup)
-    docs = os.environ.get("GRAFT_SCALING_DOCS", "600000")
+    docs = os.environ.get("GRAFT_SCALING_DOCS", "2400000")
     env_base = dict(os.environ, GRAFT_BENCH_MODE="build",
                     GRAFT_BENCH_DOCS=docs)
     out = {}

@@ -75,36 +75,53 @@ def generate_pages(out_dir: str, num_docs: int, num_files: int = 8,
     vocab = make_vocab(vocab_size, seed)
     probs = zipf_probs(vocab_size, zipf_s)
     per_file = (num_docs + num_files - 1) // num_files
-    base_ts = np.datetime64("2024-08-07T00:00:00", "us")
-    for fi in range(num_files):
-        rng = np.random.default_rng((seed, fi))
-        n = min(per_file, num_docs - fi * per_file)
-        if n <= 0:
-            n = 0
-        doc_ids = np.arange(fi * per_file, fi * per_file + n, dtype=np.uint64)
-        lens = np.maximum(rng.poisson(mean_len, size=n), 1)
-        total = int(lens.sum())
-        toks = rng.choice(vocab, size=total, p=probs)
-        offs = np.concatenate(([0], np.cumsum(lens)))
-        texts = [" ".join(toks[offs[i]:offs[i + 1]]) for i in range(n)]
-        title_lens = rng.integers(2, 6, size=n)
-        ttotal = int(title_lens.sum())
-        ttoks = rng.choice(vocab, size=ttotal, p=probs)
-        toffs = np.concatenate(([0], np.cumsum(title_lens)))
-        titles = [" ".join(ttoks[toffs[i]:toffs[i + 1]]) for i in range(n)]
-        urls = [f"https://example.com/{fi}/{i}" for i in range(n)]
-        htmls = [page_html(t, x) for t, x in zip(titles, texts)]
-        langs = [LANGS[int(x)] for x in rng.integers(0, len(LANGS), size=n)]
-        ts = base_ts + (doc_ids.astype(np.int64) * 1000)
-        table = pa.table({
-            "doc_id": pa.array(doc_ids, type=pa.uint64()),
-            "url": pa.array(urls, type=pa.string()),
-            "warc_ts": pa.array(ts),
-            "html": pa.array(htmls, type=pa.binary()),
-            "text": pa.array(texts, type=pa.string()),
-            "lang": pa.array(langs, type=pa.string()),
-        })
-        pq.write_table(table, files[fi])
+
+    args = [(fi, files[fi], min(per_file, max(num_docs - fi * per_file, 0)))
+            for fi in range(num_files)]
+    try:
+        import ray
+        if not ray.is_initialized():
+            raise RuntimeError("no ray session")
+        vocab_ref = ray.put(vocab)
+        probs_ref = ray.put(probs)
+        gen = ray.remote(num_cpus=1)(_gen_one_file)
+        ray.get([gen.remote(fi, path, n, seed, per_file, mean_len,
+                            vocab_ref, probs_ref)
+                 for fi, path, n in args])
+    except Exception:
+        for fi, path, n in args:
+            _gen_one_file(fi, path, n, seed, per_file, mean_len, vocab, probs)
     with open(marker, "w") as f:
         f.write("ok")
     return files
+
+
+def _gen_one_file(fi: int, path: str, n: int, seed: int, per_file: int,
+                  mean_len: int, vocab, probs) -> None:
+    """Deterministic per-file generation (keyed on (seed, file index)) —
+    identical output whether run serially or as a Ray task."""
+    base_ts = np.datetime64("2024-08-07T00:00:00", "us")
+    rng = np.random.default_rng((seed, fi))
+    doc_ids = np.arange(fi * per_file, fi * per_file + n, dtype=np.uint64)
+    lens = np.maximum(rng.poisson(mean_len, size=n), 1)
+    total = int(lens.sum())
+    toks = rng.choice(vocab, size=total, p=probs)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    texts = [" ".join(toks[offs[i]:offs[i + 1]]) for i in range(n)]
+    title_lens = rng.integers(2, 6, size=n)
+    ttoks = rng.choice(vocab, size=int(title_lens.sum()), p=probs)
+    toffs = np.concatenate(([0], np.cumsum(title_lens)))
+    titles = [" ".join(ttoks[toffs[i]:toffs[i + 1]]) for i in range(n)]
+    urls = [f"https://example.com/{fi}/{i}" for i in range(n)]
+    htmls = [page_html(t, x) for t, x in zip(titles, texts)]
+    langs = [LANGS[int(x)] for x in rng.integers(0, len(LANGS), size=n)]
+    ts = base_ts + (doc_ids.astype(np.int64) * 1000)
+    table = pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.uint64()),
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(ts),
+        "html": pa.array(htmls, type=pa.binary()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string()),
+    })
+    pq.write_table(table, path)
