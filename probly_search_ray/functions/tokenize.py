@@ -32,17 +32,23 @@ def whitespace_split_py(s: str) -> list[str]:
 _UNICODE_WORD = re.compile(r"\w+", re.UNICODE)
 
 
+_NONWORD = re.compile(r"[^a-zA-Z0-9_]+")
+
+
 def word_split_py(s: str) -> list[str]:
-    """Extension tokenizer: lowercase unicode word extraction."""
-    return _UNICODE_WORD.findall(s.lower())
+    """Extension tokenizer: lowercase + split on ASCII non-word runs.
+    Byte-matches ``word_split_arrow`` (empty tokens dropped downstream,
+    same as the whitespace contract)."""
+    return _NONWORD.split(s.lower())
 
 
 def word_split_arrow(col) -> pa.Array:
-    """Vectorized lowercase word extraction via Arrow regex split."""
+    """Vectorized form of ``word_split_py`` (RE2 has no unicode \\w, so
+    the class is explicit ASCII on both sides)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     lowered = pc.utf8_lower(col)
-    return pc.split_pattern_regex(lowered, r"\W+")
+    return pc.split_pattern_regex(lowered, r"[^a-zA-Z0-9_]+")
 
 
 class Tokenizer:
@@ -59,8 +65,9 @@ class Tokenizer:
 
 
 WHITESPACE = Tokenizer("whitespace", whitespace_split_arrow, whitespace_split_py)
+WORD = Tokenizer("word", word_split_arrow, word_split_py)
 
-TOKENIZERS = {"whitespace": WHITESPACE}
+TOKENIZERS = {"whitespace": WHITESPACE, "word": WORD}
 
 
 def get_tokenizer(name_or_tok) -> Tokenizer:

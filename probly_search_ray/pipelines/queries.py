@@ -187,6 +187,25 @@ def embedding_topk(sf_dir: str):
     return out
 
 
+def embedding_topk_ivf(sf_dir: str):
+    """IVF-bucketed ANN top-10 (rows-only: approximate by design; the
+    scale path for similarity search — probes nprobe of n_clusters)."""
+    from probly_search_ray.stages.similarity import ivf_topk
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path)
+    first = ds.sort("vec_id").limit(1).to_pandas()
+    q = np.stack(first["embedding"].to_numpy())
+    df = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=8)
+    return df[df["query_idx"] == 0][["vec_id", "cosine"]].reset_index(drop=True)
+
+
+def embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.99)."""
+    from probly_search_ray.stages.similarity import embedding_near_dup_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup_pairs(ds, threshold=0.99)
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream table."""
     from ray.data.aggregate import Count, Sum
@@ -252,8 +271,11 @@ QUERIES = {
     "fingerprints": fingerprints,
     "simhash": simhash,
     "embedding_topk": embedding_topk,
+    "embedding_topk_ivf": embedding_topk_ivf,
+    "embedding_near_dups": embedding_near_dups,
     "events_hourly": events_hourly,
 }
+
 
 _TOK = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -390,6 +412,13 @@ ORACLES = {
     """,
     "lang_dist": """
         SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+    """,
+    "embedding_near_dups": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
     """,
     "embedding_topk": """
         WITH q AS (

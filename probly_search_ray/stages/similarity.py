@@ -164,12 +164,12 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95,
     path; at scale, bucket by IVF cluster first."""
     tbl = emb_ds.to_pandas()
     ids = tbl[id_col].to_numpy()
-    m = _normalize(np.stack(tbl[vec_col].to_numpy()).astype(np.float32))
+    m = _normalize(np.stack(tbl[vec_col].to_numpy()).astype(np.float64))
     ref = ray.put((ids, m))
 
     def block(batch: pa.Table) -> pa.Table:
         all_ids, all_m = ray.get(ref)
-        bm = _normalize(_to_matrix(batch[vec_col]))
+        bm = _normalize(_to_matrix(batch[vec_col]).astype(np.float64))
         bids = batch[id_col].to_numpy()
         sims = bm @ all_m.T
         ii, jj = np.nonzero(sims >= threshold)
@@ -179,5 +179,10 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95,
                          "cosine": pa.array(
                              np.round(sims[ii, jj][keep].astype(np.float64), 6))})
 
-    return emb_ds.map_batches(block, batch_format="pyarrow").to_pandas() \
-        .sort_values(["a", "b"]).reset_index(drop=True)
+    out = emb_ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    if "a" not in out.columns:  # zero matching pairs → typed empty frame
+        import pandas as pd
+        out = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                            "b": pd.Series(dtype=np.int64),
+                            "cosine": pd.Series(dtype=np.float64)})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
