@@ -58,12 +58,12 @@ def bench_build(num_cpus: int) -> dict:
     # lazily-allocated pages, so timed runs measure compute+shuffle;
     # take the min of 2 timed runs (this VM's noise is large)
     build_pages_index(PAGES_DIR, idx_dir, overwrite=True,
-                      files_per_group=NUM_FILES, batch_size=2048)
+                      files_per_group=NUM_FILES, batch_size=8192)
     wall = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         build_pages_index(PAGES_DIR, idx_dir, overwrite=True,
-                          files_per_group=NUM_FILES, batch_size=2048)
+                          files_per_group=NUM_FILES, batch_size=8192)
         wall = min(wall, time.perf_counter() - t0)
     tb = _text_bytes()
     return {"build_sec": round(wall, 3),

@@ -133,6 +133,11 @@ def build_index(
     """
     from probly_search_ray.functions.mem import tune_allocator
     tune_allocator()
+    try:  # polars sorts the string dictionary noticeably faster
+        from ray.data import DataContext
+        DataContext.get_current().use_polars_sort = True
+    except Exception:
+        pass
     field_cols = field_cols or ["text"]
     if overwrite and os.path.exists(index_dir):
         shutil.rmtree(index_dir)
