@@ -19,12 +19,14 @@ possibly spread over several dictionary rows):
       n                      number of postings in the block
       first_doc              absolute doc_id of the first posting
       delta[1..n-1]          doc_id deltas (doc ids strictly increasing)
-      occ[0..n-1]            occurrences of the term in the doc
-                             (sum over fields — df is occurrence-counted,
-                             see src/index.rs:281-297)
       for f in fields: tf_f[0..n-1]    per-field term frequency
       for f in fields: len_f[0..n-1]   per-field doc length (denormalized
                              to avoid a doc-meta join at query time)
+
+The per-doc occurrence count (df is occurrence-counted,
+src/index.rs:281-297) is NOT stored: occ ≡ Σ_f tf_f, reconstructed at
+decode — postings exist only for docs where the term occurs, and the
+reference creates exactly one pointer per occurrence across all fields.
 """
 
 from __future__ import annotations
@@ -83,14 +85,13 @@ def varint_decode_all(buf: bytes | np.ndarray) -> np.ndarray:
     return vals
 
 
-def encode_block(doc_ids: np.ndarray, occ: np.ndarray,
+def encode_block(doc_ids: np.ndarray,
                  tfs: list[np.ndarray], lens: list[np.ndarray]) -> bytes:
     """Encode one posting block.  ``doc_ids`` must be sorted ascending."""
     n = len(doc_ids)
     d = doc_ids.astype(np.uint64, copy=False)
     deltas = np.diff(d)
-    parts = [np.array([n, d[0] if n else 0], dtype=np.uint64), deltas,
-             occ.astype(np.uint64, copy=False)]
+    parts = [np.array([n, d[0] if n else 0], dtype=np.uint64), deltas]
     for tf in tfs:
         parts.append(tf.astype(np.uint64, copy=False))
     for ln in lens:
@@ -103,9 +104,10 @@ def decode_blob(blob: bytes, num_fields: int):
 
     Returns (doc_ids, occ, tfs[F], lens[F]) as uint64 arrays, concatenated
     across blocks in stored order (doc-range order → globally sorted).
+    ``occ`` is reconstructed as Σ_f tf_f.
     """
     vals = varint_decode_all(blob)
-    out_docs, out_occ = [], []
+    out_docs = []
     out_tfs = [[] for _ in range(num_fields)]
     out_lens = [[] for _ in range(num_fields)]
     i = 0
@@ -119,21 +121,23 @@ def decode_blob(blob: bytes, num_fields: int):
         docs = np.empty(n, dtype=np.uint64)
         if n:
             docs[0] = first
-            np.cumsum(deltas, out=docs[1:]) if n > 1 else None
             if n > 1:
+                np.cumsum(deltas, out=docs[1:])
                 docs[1:] += first
         out_docs.append(docs)
-        out_occ.append(vals[j:j + n]); j += n
         for f in range(num_fields):
             out_tfs[f].append(vals[j:j + n]); j += n
         for f in range(num_fields):
             out_lens[f].append(vals[j:j + n]); j += n
         i = j
     cat = np.concatenate
-    return (cat(out_docs) if out_docs else np.empty(0, np.uint64),
-            cat(out_occ) if out_occ else np.empty(0, np.uint64),
-            [cat(x) if x else np.empty(0, np.uint64) for x in out_tfs],
-            [cat(x) if x else np.empty(0, np.uint64) for x in out_lens])
+    docs = cat(out_docs) if out_docs else np.empty(0, np.uint64)
+    tfs = [cat(x) if x else np.empty(0, np.uint64) for x in out_tfs]
+    lens = [cat(x) if x else np.empty(0, np.uint64) for x in out_lens]
+    occ = np.zeros(len(docs), dtype=np.uint64)
+    for tf in tfs:
+        occ += tf
+    return docs, occ, tfs, lens
 
 
 def encode_many(values: np.ndarray, boundaries: np.ndarray) -> list[bytes]:

@@ -87,7 +87,7 @@ class _Compactor:
                 continue  # prune term row (src/index.rs:216-239)
             keep_rows.append(i)
             new_blobs.append(encode_block(
-                docs[keep], occ[keep],
+                docs[keep],
                 [t[keep] for t in tfs], [l[keep] for l in lens]))
             new_df.append(int(occ[keep].sum()))
             new_lo.append(int(docs[keep][0]))

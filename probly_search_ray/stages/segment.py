@@ -205,7 +205,7 @@ class SegmentEncoder:
         blk_lens = np.minimum(blk_starts + self.block_postings, blk_term_end) - blk_starts
 
         values_stream, boundaries = self._value_stream(
-            doc_s, occ_s, tfs_s, lens_s, blk_starts, blk_lens, F)
+            doc_s, tfs_s, lens_s, blk_starts, blk_lens, F)
         block_blobs = encode_many(values_stream, boundaries)
 
         # merge a term's blocks into one row blob (terms mostly 1 block)
@@ -236,11 +236,11 @@ class SegmentEncoder:
         return pa.concat_tables([meta, out])
 
     @staticmethod
-    def _value_stream(docs, occ, tfs, lens, blk_starts, blk_lens, F):
+    def _value_stream(docs, tfs, lens, blk_starts, blk_lens, F):
         """Build the interleaved varint value stream for all blocks in one
-        vectorized pass.  Per block: [n, first_doc, deltas, occ, tf_f.., len_f..]."""
+        vectorized pass.  Per block: [n, first_doc, deltas, tf_f.., len_f..]."""
         n = blk_lens.astype(np.int64)
-        per_blk = 1 + n * (2 + 2 * F)
+        per_blk = 1 + n * (1 + 2 * F)
         offs = np.concatenate(([0], np.cumsum(per_blk)))
         total = int(offs[-1])
         out = np.zeros(total, dtype=np.uint64)
@@ -256,9 +256,8 @@ class SegmentEncoder:
         ia2 = _grouped_arange(n)
         src2 = np.repeat(blk_starts, n) + ia2
         sec_base = offs[:-1] + 1 + n  # after n, first, deltas
-        out[np.repeat(sec_base, n) + ia2] = occ[src2]
         for f in range(F):
-            out[np.repeat(sec_base + (1 + f) * n, n) + ia2] = tfs[f][src2]
+            out[np.repeat(sec_base + f * n, n) + ia2] = tfs[f][src2]
         for f in range(F):
-            out[np.repeat(sec_base + (1 + F + f) * n, n) + ia2] = lens[f][src2]
+            out[np.repeat(sec_base + (F + f) * n, n) + ia2] = lens[f][src2]
         return out, offs[1:]

@@ -38,13 +38,15 @@ def test_block_roundtrip_multiblock():
     for _ in range(3):
         d = np.unique(rng.integers(base, base + 10**6, 50).astype(np.uint64))
         base += 10**6
-        occ = rng.integers(1, 5, len(d)).astype(np.uint64)
-        tfs = [rng.integers(0, 3, len(d)).astype(np.uint64)]
-        lens = [rng.integers(1, 99, len(d)).astype(np.uint64)]
-        blobs += encode_block(d, occ, tfs, lens)
-        all_docs.append(d)
-    docs, occ, tfs, lens = decode_blob(blobs, 1)
-    assert (docs == np.concatenate(all_docs)).all()
+        tfs = [rng.integers(1, 3, len(d)).astype(np.uint64),
+               rng.integers(0, 3, len(d)).astype(np.uint64)]
+        lens = [rng.integers(1, 99, len(d)).astype(np.uint64)] * 2
+        blobs += encode_block(d, tfs, lens)
+        all_docs.append((d, tfs[0] + tfs[1]))
+    docs, occ, tfs, lens = decode_blob(blobs, 2)
+    assert (docs == np.concatenate([d for d, _ in all_docs])).all()
+    # occ reconstructed as sum of per-field tf
+    assert (occ == np.concatenate([o for _, o in all_docs])).all()
 
 
 def test_token_hash_deterministic_and_distinct():
