@@ -149,8 +149,15 @@ def build_index(
     groups = [files[i:i + files_per_group]
               for i in range(0, len(files), files_per_group)]
 
+    from probly_search_ray.functions.codec import FORMAT_VERSION
     man = Manifest(index_dir)
+    if man.groups and man.data["config"].get("format_version") != FORMAT_VERSION:
+        # stale on-disk format → full rebuild
+        shutil.rmtree(index_dir)
+        os.makedirs(index_dir, exist_ok=True)
+        man = Manifest(index_dir)
     man.set_config({
+        "format_version": FORMAT_VERSION,
         "key_col": key_col, "field_cols": field_cols, "tokenizer": tokenizer,
         "num_fields": len(field_cols), "block_postings": block_postings,
         "batch_size": batch_size, "input_files": files,

@@ -44,9 +44,13 @@ def _docs(sf_dir: str, columns=None):
 
 def _engine(sf_dir: str) -> SearchEngine:
     if sf_dir not in _ENGINE_CACHE:
+        from probly_search_ray.functions.codec import FORMAT_VERSION
+        from probly_search_ray.state.manifest import Manifest
         tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
         idx_dir = os.path.join("/tmp", "psr_index_cache", tag)
-        if not os.path.exists(os.path.join(idx_dir, "stats.json")):
+        fresh = os.path.exists(os.path.join(idx_dir, "stats.json")) and \
+            Manifest(idx_dir).data["config"].get("format_version") == FORMAT_VERSION
+        if not fresh:
             build_index(os.path.join(sf_dir, "documents.parquet"), idx_dir,
                         key_col="doc_id", field_cols=["text"], overwrite=True)
         _ENGINE_CACHE[sf_dir] = SearchEngine(idx_dir)

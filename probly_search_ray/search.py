@@ -47,7 +47,13 @@ class ShardData:
 
     def __init__(self, index_dir: str, term_lo: str | None = None,
                  term_hi: str | None = None):
+        from probly_search_ray.functions.codec import FORMAT_VERSION
         man = Manifest(index_dir)
+        ver = man.data["config"].get("format_version")
+        if ver != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has format_version={ver}, engine "
+                f"expects {FORMAT_VERSION}; rebuild with build_index(...)")
         self.num_fields = man.data["config"]["num_fields"]
         tables = []
         for rec in man.term_files():
