@@ -190,6 +190,13 @@ def build_index(
         rows = ds.map_batches(
             fused, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True, **kwargs)
+        # Coalesce before the sort: Ray's sort-map slices every input
+        # block into one piece per output partition (blocks × partitions
+        # objects) — with hundreds of encoder blocks that's tens of
+        # thousands of tiny objects.  ~1 partition per CPU keeps the
+        # shuffle matrix quadratic in CPUs, not in batches.
+        nparts = max(8, int(ray.available_resources().get("CPU", 8)))
+        rows = rows.repartition(nparts)
         rows = rows.sort(["term", "doc_lo"])
         rows.write_parquet(tmp_dir)
         os.replace(tmp_dir, out_dir)
