@@ -203,7 +203,12 @@ def build_index(
         t_job = time.perf_counter() - t0
 
         # --- group finalize (parallel ray tasks): term ranges + doc-meta
-        out_files = sorted(globmod.glob(os.path.join(out_dir, "*.parquet")))
+        out_files = []
+        for f in sorted(globmod.glob(os.path.join(out_dir, "*.parquet"))):
+            if pq.ParquetFile(f).metadata.num_rows == 0:
+                os.unlink(f)  # empty block from repartition padding
+            else:
+                out_files.append(f)
         meta_dir = os.path.join(index_dir, "docmeta")
         os.makedirs(meta_dir, exist_ok=True)
         results = ray.get([_finalize_file.remote(f, len(field_cols))

@@ -72,7 +72,10 @@ class ShardData:
             t = pads.dataset(path).to_table(
                 filter=flt, columns=["term", "doc_lo", "df", "first_pos", "blob"])
             if len(t):
-                tables.append(t)
+                from probly_search_ray.stages.segment import SEGMENT_SCHEMA
+                want = pa.schema([SEGMENT_SCHEMA.field(n)
+                                  for n in t.column_names])
+                tables.append(t.cast(want))
         if tables:
             full = pa.concat_tables(tables).sort_by(
                 [("term", "ascending"), ("doc_lo", "ascending")])
