@@ -195,7 +195,7 @@ def build_index(
         # objects) — with hundreds of encoder blocks that's tens of
         # thousands of tiny objects.  ~1 partition per CPU keeps the
         # shuffle matrix quadratic in CPUs, not in batches.
-        nparts = max(8, int(ray.available_resources().get("CPU", 8)))
+        nparts = max(16, 2 * int(ray.available_resources().get("CPU", 8)))
         rows = rows.repartition(nparts)
         rows = rows.sort(["term", "doc_lo"])
         rows.write_parquet(tmp_dir)
