@@ -132,7 +132,7 @@ class ShardData:
             self._decoded[i] = (docs, occ.astype(np.float64),
                                 [t.astype(np.float64) for t in tfs],
                                 [l.astype(np.float64) for l in lens])
-            if len(self._decoded) > 512:
+            if len(self._decoded) > 65536:
                 self._decoded.pop(next(iter(self._decoded)))
         return self._decoded[i]
 
@@ -347,11 +347,22 @@ class SearchEngine:
         avgs = [self.stats.field_avg(f) for f in range(self.num_fields)]
 
         if scorer == "bm25":
-            res = self._query_bm25(query_terms, fields_boost, n_docs, avgs,
-                                   k1, b, expand, k)
+            docs, scores = self._query_bm25(query_terms, fields_boost,
+                                            n_docs, avgs, k1, b, expand, k)
+            # canonical (score desc, doc_id asc) + top-k in numpy — no
+            # Python materialization of the full result set
+            if k is not None and len(docs) > k:
+                kth = -np.partition(-scores, k - 1)[k - 1]
+                keep = scores >= kth  # tie-safe candidate cut
+                docs, scores = docs[keep], scores[keep]
+            order = np.lexsort((docs, -scores))
+            if k is not None:
+                order = order[:k]
+            return [(int(d), float(s))
+                    for d, s in zip(docs[order], scores[order])]
         elif scorer == "zero_to_one":
             res = self._query_zero_to_one(query_terms, qlen, expand)
-        elif hasattr(scorer, "score"):
+        elif hasattr(scorer, "score"):  # custom calculator (U3)
             res = self._query_custom(scorer, query_terms, qlen, fields_boost,
                                      avgs, n_docs, expand)
         else:
@@ -439,7 +450,7 @@ class SearchEngine:
                 ub_coef = sum(fields_boost) * (k1 + 1.0)
                 order_ub = sorted(range(len(ordered)),
                                   key=lambda i: -idf_boosts[i])
-                CHUNK = 16
+                CHUNK = 64
                 pos = 0
                 while pos < len(order_ub):
                     if len(g_scores) >= k:
@@ -518,7 +529,7 @@ class SearchEngine:
             ms = np.concatenate((g_scores[keep_mask], new_vals))
             o = np.argsort(md, kind="stable")
             g_docs, g_scores = md[o], ms[o]
-        return [(int(d), float(s)) for d, s in zip(g_docs, g_scores)]
+        return g_docs, g_scores
 
     # .. custom ScoreCalculator (U3 hook, src/score/calculator.rs:33-70) ....
 
