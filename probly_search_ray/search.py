@@ -450,6 +450,8 @@ class SearchEngine:
                 ub_coef = sum(fields_boost) * (k1 + 1.0)
                 order_ub = sorted(range(len(ordered)),
                                   key=lambda i: -idf_boosts[i])
+                # chunks double each round: tight early cutoff when hot
+                # terms can be pruned, few RPC rounds when they can't
                 CHUNK = 64
                 pos = 0
                 while pos < len(order_ub):
@@ -484,6 +486,7 @@ class SearchEngine:
                         g_docs, g_scores = _merge_max(g_docs, g_scores,
                                                      d_u, s_u)
                     pos += CHUNK
+                    CHUNK *= 2
                 break
             # ONE batched call per shard for all expansions of this term
             per_shard = self._call("score_bm25_many", ordered, idf_boosts,
