@@ -28,7 +28,7 @@ import time
 
 BENCH_DIR = "/tmp/psr_bench"
 PAGES_DIR = os.path.join(BENCH_DIR, "pages")
-NUM_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "120000"))
+NUM_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "600000"))
 NUM_FILES = 32
 
 
