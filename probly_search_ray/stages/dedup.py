@@ -76,27 +76,52 @@ class MinHashStage:
 def lsh_candidate_pairs(docs_ds, k: int = 128, bands: int = 16, w: int = 3,
                         text_col: str = "text", max_bucket: int = 64):
     """Candidate near-dup pairs from MinHash LSH banding.
-    Returns a Dataset of (a, b) doc-id pairs, a < b, deduplicated.
-    Buckets larger than ``max_bucket`` are truncated (hot-bucket cap;
-    at web scale such buckets are boilerplate clusters handled by a
-    dedicated pass)."""
+    Returns a pandas DataFrame of (a, b) doc-id pairs, a < b, deduped.
+
+    Shape: the all-to-all work is ONE C-level count aggregate over
+    (band, band_hash) keys; only *colliding* buckets (a tiny fraction —
+    real near-dup collisions) are pulled and expanded into pairs, so
+    per-group Python overhead is proportional to actual collisions,
+    never to the corpus.  Buckets larger than ``max_bucket`` are
+    truncated (hot boilerplate clusters need a dedicated pass)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
     bands_ds = docs_ds.map_batches(
         MinHashStage(k=k, bands=bands, w=w, text_col=text_col),
         batch_format="pyarrow")
+    bands_mat = bands_ds.materialize()  # reused twice below
+    counts = bands_mat.groupby(["band", "band_hash"]).aggregate(
+        Count(alias_name="n"))
+    dup_keys = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)),
+        batch_format="pyarrow").to_pandas()
+    if len(dup_keys) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                             "b": pd.Series(dtype=np.int64)})
+    # broadcast the (small) colliding-key set; filter band rows to it
+    key_set = set(zip(dup_keys["band"].to_numpy().tolist(),
+                      dup_keys["band_hash"].to_numpy().tolist()))
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+    def only_colliding(t: pa.Table) -> pa.Table:
+        b = t["band"].to_numpy()
+        h = t["band_hash"].to_numpy()
+        mask = np.fromiter(((int(x), int(y)) in key_set
+                            for x, y in zip(b, h)), bool, len(t))
+        return t.filter(pa.array(mask))
+
+    hits = bands_mat.map_batches(only_colliding,
+                                 batch_format="pyarrow").to_pandas()
+    pairs = set()
+    for (_, _), g in hits.groupby(["band", "band_hash"]):
         ids = np.unique(g["doc_id"].to_numpy())[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
         ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
-
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        pairs_of_group, batch_format="pandas")
-    # dedup pairs discovered in multiple bands
-    from ray.data.aggregate import Count
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="nbands")) \
-                .select_columns(["a", "b"])
+        pairs.update(zip(ids[ii].tolist(), ids[jj].tolist()))
+    out = sorted(pairs)
+    return pd.DataFrame(out, columns=["a", "b"]) if out else \
+        pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                      "b": pd.Series(dtype=np.int64)})
 
 
 def jaccard_verify(docs_ds, pairs_df: pd.DataFrame, threshold: float,
@@ -147,5 +172,5 @@ def near_dup_pairs(docs_ds, threshold: float = 0.8, k: int = 128,
                    bands: int = 16, w: int = 3, text_col: str = "text"):
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified."""
     cands = lsh_candidate_pairs(docs_ds, k=k, bands=bands, w=w,
-                                text_col=text_col).to_pandas()
+                                text_col=text_col)
     return jaccard_verify(docs_ds, cands, threshold, w=w, text_col=text_col)

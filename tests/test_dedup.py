@@ -1,0 +1,62 @@
+"""Dedup pipelines with PLANTED duplicates (the oracle comparisons on
+random testdata are near-vacuous — these pin real recall)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from probly_search_ray.stages.dedup import dedup_exact, near_dup_pairs
+
+
+def _corpus_with_dups(seed=4):
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(500)])
+    docs = {}
+    for d in range(60):
+        docs[d] = " ".join(rng.choice(vocab, size=40))
+    # exact dups: 100=copy of 0, 101=copy of 1
+    docs[100] = docs[0]
+    docs[101] = docs[1]
+    # near dups: 200 = doc 2 with 3 tokens changed; 201 = doc 3 + suffix
+    t = docs[2].split(" ")
+    t[5], t[17], t[33] = "xx1", "xx2", "xx3"
+    docs[200] = " ".join(t)
+    docs[201] = docs[3] + " tail1 tail2"
+    return docs
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    docs = _corpus_with_dups()
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    return rd.from_pandas(df), docs
+
+
+def test_dedup_exact_planted(docs_ds):
+    ds, docs = docs_ds
+    survivors = set(dedup_exact(ds).to_pandas()["doc_id"])
+    assert 0 in survivors and 100 not in survivors
+    assert 1 in survivors and 101 not in survivors
+    assert len(survivors) == len(docs) - 2
+
+
+def test_near_dup_pairs_planted(docs_ds):
+    ds, docs = docs_ds
+    # 3 changed tokens kill ~3 shingles each → jaccard ≈ 0.6 for (2,200);
+    # bands=32 (r=4) gives ≥99% collision probability at that level
+    pairs = near_dup_pairs(ds, threshold=0.5, bands=32)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 100) in got     # exact dup → jaccard 1.0
+    assert (1, 101) in got
+    assert (2, 200) in got     # 3/40 tokens changed
+    assert (3, 201) in got     # suffix added
+    # no false positives among unrelated random docs
+    for a, b in got:
+        assert (a, b) in {(0, 100), (1, 101), (2, 200), (3, 201)}, (a, b)
+    # jaccard values sane
+    j = dict(((a, b), v) for a, b, v in
+             zip(pairs["a"], pairs["b"], pairs["jaccard"]))
+    assert j[(0, 100)] == 1.0
+    assert 0.5 <= j[(2, 200)] < 1.0
