@@ -3,13 +3,17 @@
 Pipeline shape (SURVEY.md §3.1 "Ray shape"):
 
     read_parquet(group files, columns=[key]+fields)      # prune at read
-      → map_batches(SegmentEncoder, pyarrow, actor pool) # tokenize+count+
-                                                         # encode, no shuffle
+      → map_batches(extract+tokenize+count+encode)       # ONE fused stage,
+                                                         # no shuffle
+      → repartition(~2 blocks/CPU)                       # bound the sort's
+                                                         # shuffle matrix
       → sort(["term", "doc_lo"])                         # THE one wide op:
                                                          # compact encoded
                                                          # rows, not raw
                                                          # occurrences
       → write_parquet(terms/group=G)                     # term-sorted shards
+      → parallel finalize tasks                          # term ranges +
+                                                         # docmeta + lineage
 
 The input file list is split into *partition groups*; each group is
 built and committed independently (manifest record with lineage +

@@ -17,17 +17,20 @@ from probly_search_ray.functions.mem import tune_allocator
 
 
 class BulkSearcher:
-    def __init__(self, index_dir: str, scorer: str = "bm25", k: int = 10):
+    def __init__(self, index_dir: str, scorer: str = "bm25",
+                 k: int | None = 10, expand: bool = True):
         tune_allocator()
         from probly_search_ray.search import SearchEngine
         self.eng = SearchEngine(index_dir, num_shards=1, use_actors=False)
         self.scorer = scorer
         self.k = k
+        self.expand = expand
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out_q, out_r, out_d, out_s = [], [], [], []
         for qid, q in zip(batch["query_id"], batch["query"]):
-            res = self.eng.query(q, self.scorer, k=self.k)
+            res = self.eng.query(q, self.scorer, k=self.k,
+                                 expand=self.expand)
             for rank, (doc, score) in enumerate(res):
                 out_q.append(qid)
                 out_r.append(rank)
@@ -42,11 +45,12 @@ class BulkSearcher:
 
 
 def bulk_search(queries_ds, index_dir: str, scorer: str = "bm25",
-                k: int = 10, concurrency: int = 4, batch_size: int = 64):
+                k: int | None = 10, concurrency: int = 4,
+                batch_size: int = 64, expand: bool = True):
     """queries_ds: Dataset with (query_id:int64, query:string) →
     Dataset of (query_id, rank, doc_id, score)."""
     return queries_ds.map_batches(
         BulkSearcher,
-        fn_constructor_args=(index_dir, scorer, k),
+        fn_constructor_args=(index_dir, scorer, k, expand),
         batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)

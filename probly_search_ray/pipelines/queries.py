@@ -116,6 +116,24 @@ def bm25_prefix(sf_dir: str):
                          "score": [round(s, 6) for _, s in res]})
 
 
+BULK_TERMS = ["table", "merge", "stream", "filter", "window"]
+
+
+def bulk_bm25(sf_dir: str):
+    """Throughput-mode search: a Dataset of single-term queries scored
+    by the BulkSearcher actor pool (expansion off → SQL-checkable)."""
+    from probly_search_ray.pipelines.bulk import bulk_search
+    eng = _engine(sf_dir)  # ensures the index exists / is cached
+    qds = ray.data.from_pandas(pd.DataFrame({
+        "query_id": np.arange(len(BULK_TERMS), dtype=np.int64),
+        "query": BULK_TERMS}))
+    out = bulk_search(qds, eng.index_dir, k=None, concurrency=2,
+                      expand=False).to_pandas()
+    out = out[["query_id", "doc_id", "score"]].copy()
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def zero_to_one_search(sf_dir: str):
     """zero_to_one scorer top-20 (rows-only check: not SQL-expressible)."""
     eng = _engine(sf_dir)
@@ -264,6 +282,7 @@ QUERIES = {
     "doc_lengths": doc_lengths,
     "bm25_exact": bm25_exact,
     "bm25_prefix": bm25_prefix,
+    "bulk_bm25": bulk_bm25,
     "zero_to_one_search": zero_to_one_search,
     "dedup_exact": dedup_exact_survivors,
     "minhash_near_dups": minhash_near_dups,
@@ -380,6 +399,25 @@ ORACLES = {
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "bulk_bm25": _BM25_COMMON + f"""
+        , qt AS (
+            SELECT * FROM (VALUES (0, 'table'), (1, 'merge'), (2, 'stream'),
+                                  (3, 'filter'), (4, 'window'))
+                 AS v(query_id, t)
+        )
+        , tf AS (
+            SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok
+            WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t
+        )
+        SELECT qt.query_id, tf.doc_id,
+          round(((1.2 + 1.0) * tf.tf)
+            / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len / (SELECT avg FROM avgdl))) + tf.tf)
+          * ln(1.0 + ((SELECT n_docs FROM stats)
+                      - least((SELECT n_docs FROM stats), df.df) + 0.5)
+               / (least((SELECT n_docs FROM stats), df.df) + 0.5)), 6) AS score
+        FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN qt ON qt.t = tf.t
     """,
     "ngram_jaccard_pairs": f"""
         WITH toks AS (
