@@ -603,10 +603,18 @@ class SearchEngine:
     # .. zero_to_one ........................................................
 
     def _query_zero_to_one(self, query_terms, qlen, expand):
-        from probly_search_ray.refmodel import ZeroToOne  # reuse finalize
-        records: dict[int, list] = {}  # doc -> per-field record lists
+        """Vectorized record gathering + per-(doc,field) pool consumption
+        (``src/score/default/zero_to_one.rs:84-126``).
+
+        Record order within a (doc, field) group must equal the
+        reference's stable sort: score desc, ties in insertion order =
+        (query term index asc, trie-expansion rank asc) — encoded here
+        as a global sequence number per (qti, expansion) batch."""
         node_uid: dict[str, int] = {}
-        candidates: set[int] = set()
+        a_doc, a_field, a_score, a_qti, a_uid, a_tf, a_flen, a_seq = \
+            [], [], [], [], [], [], [], []
+        cand_parts = []
+        seq = 0
         for qti, term in enumerate(query_terms):
             if term == "":
                 continue
@@ -620,26 +628,66 @@ class SearchEngine:
                 uid = node_uid.setdefault(e, len(node_uid))
                 te = float(len(e.encode()))
                 e_score = 1.0 - abs(te - tl) / te
-                if True:
-                    docs, tfs, lens = p
-                    for di in range(len(docs)):
-                        doc = int(docs[di])
-                        candidates.add(doc)
-                        per_field = records.setdefault(
-                            doc, [[] for _ in range(self.num_fields)])
-                        for x in range(self.num_fields):
-                            tf = int(tfs[x][di])
-                            if tf > 0:
-                                per_field[x].append({
-                                    "score": e_score,
-                                    "all_query_terms_len": qlen,
-                                    "query_term_index": qti,
-                                    "index_node_id": uid,
-                                    "term_frequency": tf,
-                                    "field_length": int(lens[x][di]),
-                                })
-        z = ZeroToOne()
-        z.score_by_document_and_field = records
-        results = [[doc, 0.0] for doc in candidates]
-        z.finalize(results)
-        return [(d, s) for d, s in results]
+                docs, tfs, lens = p
+                cand_parts.append(docs)
+                for x in range(self.num_fields):
+                    tf = tfs[x]
+                    m = tf > 0
+                    if not m.any():
+                        continue
+                    n = int(m.sum())
+                    a_doc.append(docs[m])
+                    a_field.append(np.full(n, x, np.int32))
+                    a_score.append(np.full(n, e_score, np.float64))
+                    a_qti.append(np.full(n, qti, np.int32))
+                    a_uid.append(np.full(n, uid, np.int64))
+                    a_tf.append(tf[m])
+                    a_flen.append(lens[x][m])
+                    a_seq.append(np.full(n, seq, np.int64))
+                seq += 1
+        if not cand_parts:
+            return []
+        candidates = np.unique(np.concatenate(cand_parts))
+        if not a_doc:
+            return [(int(d), 0.0) for d in candidates]
+        doc = np.concatenate(a_doc)
+        fld = np.concatenate(a_field)
+        sc = np.concatenate(a_score)
+        qti_a = np.concatenate(a_qti)
+        uid_a = np.concatenate(a_uid)
+        tf_a = np.concatenate(a_tf).astype(np.int64)
+        fl_a = np.concatenate(a_flen).astype(np.int64)
+        seq_a = np.concatenate(a_seq)
+        order = np.lexsort((seq_a, -sc, fld, doc))
+        doc, fld, sc = doc[order], fld[order], sc[order]
+        qti_a, uid_a, tf_a, fl_a = (qti_a[order], uid_a[order],
+                                    tf_a[order], fl_a[order])
+        # group boundaries per (doc, field)
+        newgrp = np.concatenate(
+            ([True], (doc[1:] != doc[:-1]) | (fld[1:] != fld[:-1])))
+        starts = np.flatnonzero(newgrp)
+        ends = np.concatenate((starts[1:], [len(doc)]))
+        scores: dict[int, float] = {}
+        for s0, s1 in zip(starts, ends):
+            d = int(doc[s0])
+            pool: dict[int, int] = {}
+            consumed: set[int] = set()
+            acc = 0.0
+            for i in range(s0, s1):
+                q = int(qti_a[i])
+                if q in consumed:
+                    continue
+                nid = int(uid_a[i])
+                if nid in pool:
+                    if pool[nid] <= 0:
+                        continue
+                    pool[nid] -= 1
+                else:
+                    pool[nid] = tf_a[i] - 1
+                consumed.add(q)
+                df = float(tf_a[i])
+                acc += min(sc[i] / df, 1.0) * tf_a[i] / float(
+                    max(fl_a[i], qlen))
+            prev = scores.get(d, 0.0)
+            scores[d] = max(acc, prev)
+        return [(int(d), scores.get(int(d), 0.0)) for d in candidates]
