@@ -115,3 +115,30 @@ def test_bulk_search(tmp_path, pages_dir):
         assert len(got) == len(want)
         for (d, s), (_, row) in zip(want, got.iterrows()):
             assert row["doc_id"] == d and abs(row["score"] - s) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_append(tmp_path, pages_dir):
+    """Appending new input files to an existing index builds only the
+    new groups (batch-level add_document) and equals a fresh build."""
+    import glob
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    idx = os.path.join(str(tmp_path), "inc")
+    build_pages_index(files[:2], idx, overwrite=True, files_per_group=1)
+    man1 = json.load(open(os.path.join(idx, "manifest.json")))
+    assert len(man1["groups"]) == 2
+    g0 = os.path.join(idx, "terms", "group=00000")
+    mtimes = {f: os.path.getmtime(os.path.join(g0, f)) for f in os.listdir(g0)}
+
+    build_pages_index(files, idx, overwrite=False, files_per_group=1)
+    man2 = json.load(open(os.path.join(idx, "manifest.json")))
+    assert len(man2["groups"]) == 4
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(g0, f)) == m
+
+    fresh = os.path.join(str(tmp_path), "fresh")
+    build_pages_index(files, fresh, overwrite=True, files_per_group=1)
+    e1, e2 = SearchEngine(idx), SearchEngine(fresh)
+    assert e1.stats.num_docs == e2.stats.num_docs
+    for q in ["ba", "ne to", "mu sa"]:
+        assert e1.query(q, "bm25") == e2.query(q, "bm25")
