@@ -290,7 +290,11 @@ class SearchEngine:
         self.use_actors = use_actors
         if use_actors:
             import ray
-            Actor = ray.remote(num_cpus=1)(ShardData)
+            # size CPU requests so the whole pool always schedules, even
+            # when shards outnumber available CPUs (else: deadlock)
+            avail = ray.cluster_resources().get("CPU", len(bounds))
+            cpus = max(0.1, min(1.0, (avail - 1) / max(len(bounds), 1)))
+            Actor = ray.remote(num_cpus=cpus)(ShardData)
             self.shards = [Actor.remote(index_dir, lo, hi)
                            for lo, hi in bounds]
             self._ray = ray

@@ -77,3 +77,44 @@ def test_skewed_with_tombstones(tmp_path):
     for q in [hot, str(vocab[20])]:
         assert_results(eng3.query(q, "bm25"),
                        ref.query(q, BM25(), tok, [1.0]), f"vac-bm25:{q!r}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stress_sharded_actors_differential(tmp_path):
+    """Hardest configuration: 5 term-range shards served by actors,
+    tiny batches and posting blocks (maximum block fragmentation),
+    prefix-nested zipf vocabulary, multi-term + repeated + prefix
+    queries — must stay exactly rank-identical with the refmodel."""
+    from probly_search_ray.search import SearchEngine
+    rng = np.random.default_rng(21)
+    base = ["ba", "bane", "banet", "to", "tori", "torimu", "sa", "sake",
+            "ke", "kelo", "q", "qq", "qqq"]
+    probs = np.asarray([1.0 / (i + 1) ** 1.1 for i in range(len(base))])
+    probs /= probs.sum()
+    corpus = {}
+    for d in range(300):
+        k = max(int(rng.poisson(12)), 1)
+        corpus[d] = (" ".join(rng.choice(base, size=k, p=probs)),
+                     " ".join(rng.choice(base, size=max(k // 2, 1), p=probs)))
+    eng = build_engine(tmp_path, corpus, batch_size=37, block_postings=11,
+                       files_per_group=1)
+    eng_sharded = SearchEngine(eng.index_dir, num_shards=5, use_actors=True)
+
+    ref = RefIndex(2)
+    for d in sorted(corpus):
+        ref.add_document(list(corpus[d]), tok, d)
+
+    queries = ["ba", "bane", "b", "to sa", "q qq qqq", "ba ba", "tori ke",
+               "x", "t", "ba  to", "sake kelo torimu"]
+    for q in queries:
+        for boosts in ([1.0, 1.0], [2.0, 0.5]):
+            exp = ref.query(q, BM25(), tok, boosts)
+            got = eng_sharded.query(q, "bm25", fields_boost=boosts)
+            assert_results(got, exp, f"stress-bm25:{q!r}:{boosts}")
+        exp_z = ref.query(q, ZeroToOne(), tok, [1.0, 1.0])
+        got_z = eng_sharded.query(q, "zero_to_one")
+        assert_results(got_z, exp_z, f"stress-z2o:{q!r}")
+        # pruned top-5 == head of full ranking
+        full = eng_sharded.query(q, "bm25")[:5]
+        assert_results(eng_sharded.query(q, "bm25", k=5), full,
+                       f"stress-prune:{q!r}")
