@@ -49,6 +49,10 @@ class ShardData:
                  term_hi: str | None = None):
         from probly_search_ray.functions.codec import FORMAT_VERSION
         man = Manifest(index_dir)
+        if not man.data["config"]:
+            raise FileNotFoundError(
+                f"no index at {index_dir} (missing/empty manifest.json); "
+                f"build one with build_index(...) or the CLI 'build' command")
         ver = man.data["config"].get("format_version")
         if ver != FORMAT_VERSION:
             raise ValueError(
@@ -282,6 +286,10 @@ class SearchEngine:
         self.index_dir = index_dir
         man = Manifest(index_dir)
         cfg = man.data["config"]
+        if not cfg:
+            raise FileNotFoundError(
+                f"no index at {index_dir} (missing/empty manifest.json); "
+                f"build one with build_index(...) or the CLI 'build' command")
         self.num_fields = cfg["num_fields"]
         self.tokenizer = get_tokenizer(cfg["tokenizer"])
         self.stats = Stats(index_dir)
