@@ -169,10 +169,12 @@ def build_index(
     })
     committed = man.committed_group_ids() if resume else set()
 
+    built_any = False
     for gi, gfiles in enumerate(groups):
         gid = f"{gi:05d}"
         if gid in committed:
             continue
+        built_any = True
         t0 = time.perf_counter()
         out_dir = os.path.join(index_dir, "terms", f"group={gid}")
         tmp_dir = out_dir + ".tmp"
@@ -254,10 +256,27 @@ def build_index(
         })
 
     # --- global stats from group partials (reference avg = sum/N) -------
-    total_docs = sum(rec["num_docs"] for rec in man.groups.values())
-    total_sums = np.zeros(len(field_cols), dtype=np.int64)
-    for rec in man.groups.values():
-        total_sums += np.asarray(rec["field_len_sums"], dtype=np.int64)
-    Stats(index_dir).set_from_build(total_docs, list(total_sums))
+    # Group partials include docs tombstoned since their group was built
+    # (only vacuum rewrites partials), so subtract those docs' counts and
+    # lengths or an append would resurrect them in N / sum / avg.  The
+    # aggregate (not a per-doc replay) is exact here because the append's
+    # final add_document recomputes avg = sum/N for every field in the
+    # reference (src/index.rs:112-113); the stale-avg remove quirk only
+    # survives when the last operation was a remove — which is why a
+    # resumed no-op build leaves stats.json untouched.
+    stats = Stats(index_dir)
+    if built_any or not os.path.exists(stats.path):
+        total_docs = sum(rec["num_docs"] for rec in man.groups.values())
+        total_sums = np.zeros(len(field_cols), dtype=np.int64)
+        for rec in man.groups.values():
+            total_sums += np.asarray(rec["field_len_sums"], dtype=np.int64)
+        tomb_ids = Tombstones(index_dir).doc_ids
+        if tomb_ids:
+            from probly_search_ray.maintain import _docs_field_lengths
+            lens_by_doc = _docs_field_lengths(index_dir, tomb_ids)
+            for lens in lens_by_doc.values():
+                total_sums -= np.asarray(lens, dtype=np.int64)
+            total_docs -= len(lens_by_doc)
+        stats.set_from_build(total_docs, list(total_sums))
     Tombstones(index_dir)  # touch
     return man.data

@@ -62,16 +62,18 @@ def rolling_fingerprint(token_hashes: np.ndarray,
     # per-token position within its doc
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, doc_lengths)
     B = np.uint64(base)
-    # B^pos mod 2^64 via exponentiation on the bits of pos (vectorized)
-    p = np.ones(total, dtype=np.uint64)
-    cur = B
-    maxbits = int(pos.max()).bit_length() if total else 0
-    pos_u = pos.astype(np.uint64)
-    for bit in range(maxbits):
-        mask = (pos_u >> np.uint64(bit)) & np.uint64(1)
-        p = np.where(mask == 1, p * cur, p)
-        cur = cur * cur
-    weighted = token_hashes.astype(np.uint64) * p
+    # B^pos mod 2^64 via exponentiation on the bits of pos (vectorized);
+    # uint64 wraparound IS the mod — silence the (intentional) overflow
+    with np.errstate(over="ignore"):
+        p = np.ones(total, dtype=np.uint64)
+        cur = B
+        maxbits = int(pos.max()).bit_length() if total else 0
+        pos_u = pos.astype(np.uint64)
+        for bit in range(maxbits):
+            mask = (pos_u >> np.uint64(bit)) & np.uint64(1)
+            p = np.where(mask == 1, p * cur, p)
+            cur = cur * cur
+        weighted = token_hashes.astype(np.uint64) * p
     out = np.zeros(len(doc_lengths), dtype=np.uint64)
     nz = doc_lengths > 0
     if nz.any():

@@ -31,28 +31,55 @@ from probly_search_ray.state.manifest import Manifest, Stats, Tombstones
 
 def remove_document(index_dir: str, doc_id: int) -> bool:
     """Tombstone ``doc_id``.  Returns False if unknown or already removed."""
+    return remove_documents(index_dir, [doc_id]) == 1
+
+
+def remove_documents(index_dir: str, doc_ids) -> int:
+    """Tombstone a batch of docs with ONE docmeta scan and one write per
+    state file.  Returns the number of docs actually removed.
+
+    Crash-safety ordering: tombstones are written *before* the stats
+    update — a crash in between leaves the doc excluded from scoring
+    (conservative) with slightly stale stats, which the next build or
+    vacuum reconciles from docmeta; the reverse order would silently
+    score a live doc against shrunken stats forever.
+    """
     tomb = Tombstones(index_dir)
-    if doc_id in tomb.doc_ids:
-        return False
-    lens = _doc_field_lengths(index_dir, doc_id)
-    if lens is None:
-        return False
-    Stats(index_dir).apply_remove(lens)
-    tomb.add(doc_id)
-    return True
+    existing = set(tomb.doc_ids)
+    want = [int(d) for d in dict.fromkeys(doc_ids) if int(d) not in existing]
+    if not want:
+        return 0
+    lens_by_doc = _docs_field_lengths(index_dir, want)
+    if not lens_by_doc:
+        return 0
+    found = [d for d in want if d in lens_by_doc]
+    tomb.add_many(found)
+    stats = Stats(index_dir)
+    for d in found:  # reference per-doc replay (src/index.rs:160-191)
+        stats.apply_remove(lens_by_doc[d], save=False)
+    stats.save()
+    return len(found)
 
 
-def _doc_field_lengths(index_dir: str, doc_id: int):
+def _docs_field_lengths(index_dir: str, doc_ids) -> dict[int, list[int]]:
+    """Field lengths for a batch of doc ids — one predicate-pushdown scan
+    over the docmeta files (not one scan per doc)."""
     import pyarrow.dataset as pads
     meta_dir = os.path.join(index_dir, "docmeta")
-    if not os.path.isdir(meta_dir):
-        return None
-    ds = pads.dataset(sorted(glob.glob(os.path.join(meta_dir, "*.parquet"))))
-    t = ds.to_table(filter=pads.field("doc_id") == doc_id)
+    files = sorted(glob.glob(os.path.join(meta_dir, "*.parquet"))) \
+        if os.path.isdir(meta_dir) else []
+    if not files or not doc_ids:
+        return {}
+    ds = pads.dataset(files)
+    ids_arr = pa.array([int(d) for d in doc_ids], type=pa.uint64())
+    t = ds.to_table(filter=pads.field("doc_id").isin(ids_arr))
     if len(t) == 0:
-        return None
+        return {}
     nf = len(t.column_names) - 1
-    return [int(t[f"len_{f}"][0].as_py()) for f in range(nf)]
+    ids = t["doc_id"].to_numpy()
+    lens = [t[f"len_{f}"].to_numpy() for f in range(nf)]
+    return {int(d): [int(lens[f][i]) for f in range(nf)]
+            for i, d in enumerate(ids)}
 
 
 class _Compactor:
@@ -111,39 +138,72 @@ def _in_sorted(values, sorted_arr):
     return sorted_arr[idx] == values
 
 
+def _gc_unreferenced_group_dirs(index_dir: str, man: Manifest) -> None:
+    """Delete ``terms/group=*`` dirs the manifest doesn't reference —
+    leftovers from a vacuum that crashed between its versioned-dir
+    rename and the manifest commit (or commit and old-dir delete)."""
+    terms_root = os.path.join(index_dir, "terms")
+    if not os.path.isdir(terms_root):
+        return
+    referenced = {os.path.normpath(os.path.dirname(r["path"]))
+                  for r in man.term_files()}
+    for d in os.listdir(terms_root):
+        full = os.path.join(terms_root, d)
+        if not (os.path.isdir(full) and d.startswith("group=")):
+            continue
+        if os.path.normpath(os.path.join("terms", d)) not in referenced:
+            shutil.rmtree(full)
+
+
 def vacuum(index_dir: str) -> None:
-    """Compaction job (``src/index.rs:193-241``)."""
+    """Compaction job (``src/index.rs:193-241``).
+
+    Crash-safe swap: the compacted group is written under a NEW
+    versioned dir (``terms/group=G.vN``), the manifest is atomically
+    committed to point at it, and only then is the old dir deleted — at
+    every intermediate state the manifest references files that exist.
+    Stray dirs from a crashed run are garbage-collected up front.
+    """
     import ray.data
 
     tomb = Tombstones(index_dir)
     tomb_arr = np.sort(np.asarray(tomb.doc_ids, dtype=np.uint64))
+    man = Manifest(index_dir)
+    _gc_unreferenced_group_dirs(index_dir, man)
     if len(tomb_arr) == 0:
         return
-    man = Manifest(index_dir)
     nf = man.data["config"]["num_fields"]
     for gid, rec in sorted(man.groups.items()):
-        out_dir = os.path.join(index_dir, "terms", f"group={gid}")
-        tmp_dir = out_dir + ".vacuum"
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)
-        ds = ray.data.read_parquet(sorted(
-            glob.glob(os.path.join(out_dir, "*.parquet"))))
+        cur_files = sorted(os.path.join(index_dir, tf["path"])
+                           for tf in rec["term_files"])
+        if not cur_files:
+            continue
+        old_dirs = {os.path.dirname(f) for f in cur_files}
+        gen = int(rec.get("vacuum_gen", 0)) + 1
+        new_dir = os.path.join(index_dir, "terms", f"group={gid}.v{gen}")
+        tmp_dir = new_dir + ".tmp"
+        for d in (tmp_dir, new_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        ds = ray.data.read_parquet(cur_files)
         # one vacuum pass is order-preserving per block; re-sort to keep
         # the term-sorted invariant across output files
         out = ds.map_batches(_Compactor(tomb_arr, nf),
                              batch_format="pyarrow")
         out = out.sort(["term", "doc_lo"])
         out.write_parquet(tmp_dir)
-        shutil.rmtree(out_dir)
-        os.replace(tmp_dir, out_dir)
+        os.replace(tmp_dir, new_dir)
         # refresh lineage: term ranges + docmeta for this group
         term_files = []
         meta_tables = []
         num_docs = 0
         sums = np.zeros(nf, dtype=np.int64)
         import pyarrow.dataset as pads
-        for f in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
+        for f in sorted(glob.glob(os.path.join(new_dir, "*.parquet"))):
             pf = pq.ParquetFile(f)
+            if pf.metadata.num_rows == 0:
+                os.unlink(f)
+                continue
             tcol = pads.dataset(f).to_table(columns=["term"])["term"]
             tmin = tcol[0].as_py() if len(tcol) else None
             tmax = tcol[-1].as_py() if len(tcol) else None
@@ -157,10 +217,6 @@ def vacuum(index_dir: str) -> None:
                 num_docs += len(mt)
                 for fi in range(nf):
                     sums[fi] += int(np.sum(mt[f"len_{fi}"].to_numpy()))
-        rec["term_files"] = term_files
-        rec["num_docs"] = int(num_docs)
-        rec["field_len_sums"] = [int(s) for s in sums]
-        man.commit_group(gid, rec)
         meta_path = os.path.join(index_dir, "docmeta", f"group={gid}.parquet")
         if meta_tables:
             tmp = meta_path + ".tmp"
@@ -168,4 +224,13 @@ def vacuum(index_dir: str) -> None:
             os.replace(tmp, meta_path)
         elif os.path.exists(meta_path):
             os.unlink(meta_path)
+        rec["term_files"] = term_files
+        rec["num_docs"] = int(num_docs)
+        rec["field_len_sums"] = [int(s) for s in sums]
+        rec["vacuum_gen"] = gen
+        man.commit_group(gid, rec)  # atomic: now points at new_dir
+        for d in old_dirs:
+            if os.path.normpath(d) != os.path.normpath(new_dir) \
+                    and os.path.exists(d):
+                shutil.rmtree(d)
     tomb.clear()

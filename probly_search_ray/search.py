@@ -48,6 +48,9 @@ class ShardData:
     def __init__(self, index_dir: str, term_lo: str | None = None,
                  term_hi: str | None = None):
         from probly_search_ray.functions.codec import FORMAT_VERSION
+        from probly_search_ray.functions.mem import tune_allocator
+        tune_allocator()  # shard actors are fresh processes; reuse arena
+        # pages so per-query numpy temporaries don't re-fault cold pages
         man = Manifest(index_dir)
         if not man.data["config"]:
             raise FileNotFoundError(
@@ -155,9 +158,17 @@ class ShardData:
     # -- scoring -----------------------------------------------------------
 
     def score_bm25(self, term: str, idf_boost: float, fields_boost,
-                   avgs, k1: float, b: float, tomb: np.ndarray):
+                   avgs, k1: float, b: float, tomb: np.ndarray,
+                   keep_nonpositive: bool = False):
         """Vectorized BM25 over a term's posting list
-        (``src/score/default/bm25.rs:60-93``)."""
+        (``src/score/default/bm25.rs:60-93``).
+
+        ``keep_nonpositive=True`` also returns docs whose score is <= 0
+        (where the reference's ``score()`` returns ``None``): the
+        reference still marks those docs *visited* for the term
+        (``src/query.rs:88``, insert outside the ``if let Some``), which
+        changes the ``max_score_merger`` outcome for later expansions
+        when ``fields_boost`` contains zeros."""
         p = self._postings(term)
         if p is None:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
@@ -178,17 +189,20 @@ class ShardData:
             tf_norm = ((k1 + 1.0) * tfp) / (
                 k1 * ((1.0 - b) + b * (fl / avgs[x])) + tfp)
             s[pos] += tf_norm * idf_boost * fields_boost[x]
+        if keep_nonpositive:
+            return docs, s
         m = s > 0.0
         return docs[m], s[m]
 
     def score_bm25_many(self, terms: list[str], idf_boosts: list[float],
                         fields_boost, avgs, k1: float, b: float,
-                        tomb: np.ndarray):
+                        tomb: np.ndarray, keep_nonpositive: bool = False):
         """One RPC for all of a query term's expansions owned by this
         shard: returns [(rank_idx, docs, scores), ...]."""
         out = []
         for i, (t, ib) in enumerate(zip(terms, idf_boosts)):
-            docs, s = self.score_bm25(t, ib, fields_boost, avgs, k1, b, tomb)
+            docs, s = self.score_bm25(t, ib, fields_boost, avgs, k1, b,
+                                      tomb, keep_nonpositive)
             if len(docs):
                 out.append((i, docs, s))
         return out
@@ -500,9 +514,13 @@ class SearchEngine:
                     pos += CHUNK
                     CHUNK *= 2
                 break
-            # ONE batched call per shard for all expansions of this term
+            # ONE batched call per shard for all expansions of this term.
+            # keep_nonpositive: docs whose score would be None in the
+            # reference are still *visited* (src/query.rs:88), so the
+            # truly-first expansion containing a doc defines s_first even
+            # when it scores <= 0 (observable with a 0 in fields_boost).
             per_shard = self._call("score_bm25_many", ordered, idf_boosts,
-                                   fields_boost, avgs, k1, b, self.tomb)
+                                   fields_boost, avgs, k1, b, self.tomb, True)
             for shard_out in per_shard:
                 for rank, docs_e, s_e in shard_out:
                     docs_parts.append(docs_e)
@@ -519,27 +537,36 @@ class SearchEngine:
                 np.concatenate(([True], d_s[1:] != d_s[:-1])))
             term_docs = d_s[starts]
             s_first = s_s[starts]
-            masked = s_s.copy()
+            sf_pos = s_first > 0.0
+            # rest_max over *positive* scores only (None-scores never merge)
+            masked = np.where(s_s > 0.0, s_s, -np.inf)
             masked[starts] = -np.inf
             rest_max = np.maximum.reduceat(masked, starts)
-            # merge into global scores (max_score_merger semantics)
+            # merge into global scores (max_score_merger semantics):
+            #   prev exists, s_first>0 → max(prev + s_first, rest…)
+            #   prev exists, s_first<=0 → max(prev, rest…)   (visited-only)
+            #   no prev               → max(s_first if >0, rest…)
             idx = np.searchsorted(g_docs, term_docs)
             has_prev = np.zeros(len(term_docs), dtype=bool)
+            prev = np.zeros(len(term_docs), dtype=np.float64)
             if len(g_docs):
                 idx_c = np.minimum(idx, len(g_docs) - 1)
                 has_prev = g_docs[idx_c] == term_docs
-            new_vals = np.where(
+                prev = np.where(has_prev, g_scores[idx_c], 0.0)
+            base = np.where(
                 has_prev,
-                np.maximum(
-                    (g_scores[np.minimum(idx, max(len(g_docs) - 1, 0))]
-                     if len(g_docs) else 0.0) + s_first,
-                    rest_max),
-                np.maximum(s_first, rest_max))
+                np.where(sf_pos, prev + s_first, prev),
+                np.where(sf_pos, s_first, -np.inf))
+            new_vals = np.maximum(base, rest_max)
+            # docs with no positive score this term and no prior entry
+            # never enter the scores map
+            valid = new_vals > -np.inf
+            term_docs = term_docs[valid]
+            new_vals = new_vals[valid]
             # build merged arrays
-            upd = dict(zip(term_docs.tolist(), new_vals.tolist()))
             keep_mask = np.ones(len(g_docs), dtype=bool)
-            if len(g_docs):
-                keep_mask = ~_in_sorted(g_docs, np.sort(term_docs))
+            if len(g_docs) and len(term_docs):
+                keep_mask = ~_in_sorted(g_docs, term_docs)
             md = np.concatenate((g_docs[keep_mask], term_docs))
             ms = np.concatenate((g_scores[keep_mask], new_vals))
             o = np.argsort(md, kind="stable")

@@ -103,8 +103,10 @@ class Stats:
         }
         _atomic_write_json(self.path, self.data)
 
-    def apply_remove(self, field_lengths: list[int]) -> None:
-        """``src/index.rs:160-191``: sum -= len; avg = sum/(N-1); N -= 1."""
+    def apply_remove(self, field_lengths: list[int], save: bool = True) -> None:
+        """``src/index.rs:160-191``: sum -= len; avg = sum/(N-1); N -= 1.
+        The ``fl > 0`` guard is the reference's quirk: fields where the
+        removed doc was empty keep their (now stale) avg."""
         new_len = self.data["num_docs"] - 1
         for i, fl in enumerate(field_lengths):
             fd = self.data["fields"][i]
@@ -112,6 +114,10 @@ class Stats:
                 fd["sum"] -= int(fl)
                 fd["avg"] = (fd["sum"] / new_len) if new_len > 0 else float("nan")
         self.data["num_docs"] = new_len
+        if save:
+            _atomic_write_json(self.path, self.data)
+
+    def save(self) -> None:
         _atomic_write_json(self.path, self.data)
 
 
@@ -125,8 +131,13 @@ class Tombstones:
         return self.data["doc_ids"]
 
     def add(self, doc_id: int) -> None:
-        if doc_id not in self.data["doc_ids"]:
-            self.data["doc_ids"].append(int(doc_id))
+        self.add_many([doc_id])
+
+    def add_many(self, doc_ids) -> None:
+        have = set(self.data["doc_ids"])
+        new = [int(d) for d in doc_ids if int(d) not in have]
+        if new:
+            self.data["doc_ids"].extend(new)
             _atomic_write_json(self.path, self.data)
 
     def clear(self) -> None:

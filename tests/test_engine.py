@@ -136,6 +136,26 @@ def test_differential_random(tmp_path, seed, nfields):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_zero_boost_visited_semantics(tmp_path):
+    """A 0 in fields_boost makes some expansions score None; the
+    reference still marks those docs *visited* for the term
+    (``src/query.rs:88`` — insert outside the ``if let Some``), which
+    flips later expansions from ``prev + s`` to ``max(prev, s)``."""
+    rng = np.random.default_rng(21)
+    vocab = np.array(["x", "xa", "ab", "a", "abx", "b", "bx"])
+    corpus = _rand_corpus(rng, 40, 2, vocab)
+    eng = build_engine(tmp_path, corpus)
+    ref = RefIndex(2)
+    for d in sorted(corpus):
+        ref.add_document(list(corpus[d]), tok, d)
+    for boosts in ([0.0, 1.0], [1.0, 0.0]):
+        for q in ["x ab", "a", "a b", "x", "ab x", "b a x"]:
+            exp = ref.query(q, BM25(), tok, boosts)
+            got = eng.query(q, "bm25", fields_boost=list(boosts))
+            assert_results(got, exp, f"zboost:{q!r}:{boosts}")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_scale_invariance(tmp_path):
     """SCALE-1: different batch/block sizes and shard counts produce
     identical query results."""

@@ -1,0 +1,130 @@
+"""Maintenance-path tests: remove/append stats interplay, batch removal,
+and vacuum crash-safety (manifest-pointed files must exist at every
+intermediate state)."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from probly_search_ray.build import build_index
+from probly_search_ray.maintain import remove_document, remove_documents, vacuum
+from probly_search_ray.refmodel import (
+    BM25, RefIndex, whitespace_tokenizer as tok)
+from probly_search_ray.search import SearchEngine
+from probly_search_ray.state.manifest import Manifest, Stats
+from tests.fixtures import TOL, assert_results
+
+
+def _write_file(path, rows):
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.uint64()),
+        "f0": pa.array([r[1] for r in rows], type=pa.string()),
+    }), path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_append_after_remove_stats(tmp_path):
+    """ADVICE r1: an append build must not resurrect tombstoned docs in
+    stats.json (N / sum / avg) — reference: add a,b; remove a; add c."""
+    f1 = str(tmp_path / "part1.parquet")
+    f2 = str(tmp_path / "part2.parquet")
+    idx = str(tmp_path / "index")
+    _write_file(f1, [(0, "a b c"), (1, "c d e")])
+    build_index([f1], idx, field_cols=["f0"], files_per_group=1)
+    assert remove_document(idx, 0)
+    _write_file(f2, [(2, "c f g h i")])
+    build_index([f1, f2], idx, field_cols=["f0"], files_per_group=1,
+                resume=True)
+
+    ref = RefIndex(1)
+    ref.add_document(["a b c"], tok, 0)
+    ref.add_document(["c d e"], tok, 1)
+    ref.remove_document(0)
+    ref.add_document(["c f g h i"], tok, 2)
+
+    st = Stats(idx)
+    assert st.num_docs == len(ref.docs) == 2
+    assert st.field_sum(0) == ref.fields[0].sum == 8
+    assert abs(st.field_avg(0) - ref.fields[0].avg) < TOL
+
+    eng = SearchEngine(idx)
+    for q in ["c", "a", "e g"]:
+        assert_results(eng.query(q, "bm25"), ref.query(q, BM25(), tok, [1.0]),
+                       f"append-after-remove:{q!r}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_noop_rebuild_preserves_remove_quirk_stats(tmp_path):
+    """After a remove with NO new data, a resumed no-op build must keep
+    the reference's post-remove stats (incl. the stale-avg quirk) —
+    not recompute them."""
+    f1 = str(tmp_path / "part1.parquet")
+    idx = str(tmp_path / "index")
+    _write_file(f1, [(0, "a b c"), (1, "c d e f")])
+    build_index([f1], idx, field_cols=["f0"], files_per_group=1)
+    remove_document(idx, 0)
+    before = Stats(idx).data
+    build_index([f1], idx, field_cols=["f0"], files_per_group=1, resume=True)
+    assert Stats(idx).data == before
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remove_documents_batch(tmp_path):
+    """Batch removal == sequential removals (stats + query results)."""
+    f1 = str(tmp_path / "p.parquet")
+    rows = [(i, " ".join(["w%d" % (i % 5), "x", "common"])) for i in range(30)]
+    _write_file(f1, rows)
+    idx_a = str(tmp_path / "a")
+    idx_b = str(tmp_path / "b")
+    build_index([f1], idx_a, field_cols=["f0"])
+    build_index([f1], idx_b, field_cols=["f0"])
+    victims = [3, 7, 7, 19, 999]  # dup + unknown ids are no-ops
+    n = remove_documents(idx_a, victims)
+    assert n == 3
+    for v in victims:
+        remove_document(idx_b, v)
+    assert Stats(idx_a).data == Stats(idx_b).data
+    ra = SearchEngine(idx_a).query("common", "bm25")
+    rb = SearchEngine(idx_b).query("common", "bm25")
+    assert_results(ra, rb, "batch-remove")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vacuum_swaps_atomically_and_gc(tmp_path):
+    """Vacuum writes the compacted group under a new versioned dir and
+    commits the manifest before deleting the old one: at every step the
+    manifest's term_files point at files that exist on disk; stale dirs
+    from a simulated crash are cleaned up."""
+    f1 = str(tmp_path / "p.parquet")
+    _write_file(f1, [(i, "alpha beta gamma w%d" % i) for i in range(20)])
+    idx = str(tmp_path / "index")
+    build_index([f1], idx, field_cols=["f0"])
+    remove_documents(idx, [0, 5])
+    # simulate a crashed earlier vacuum: stray unreferenced dir
+    stray = os.path.join(idx, "terms", "group=00000.v9")
+    os.makedirs(stray)
+    with open(os.path.join(stray, "junk.parquet"), "w") as fh:
+        fh.write("junk")
+    vacuum(idx)
+    man = Manifest(idx)
+    for rec in man.term_files():
+        assert os.path.exists(os.path.join(idx, rec["path"])), rec["path"]
+    # old and stray dirs are gone
+    dirs = set(os.listdir(os.path.join(idx, "terms")))
+    referenced = {os.path.dirname(r["path"]).split(os.sep)[-1]
+                  for r in man.term_files()}
+    assert dirs == referenced
+    # results still correct vs refmodel
+    ref = RefIndex(1)
+    for i in range(20):
+        ref.add_document(["alpha beta gamma w%d" % i], tok, i)
+    ref.remove_document(0)
+    ref.remove_document(5)
+    ref.vacuum()
+    eng = SearchEngine(idx)
+    for q in ["alpha", "w1", "beta w7"]:
+        assert_results(eng.query(q, "bm25"), ref.query(q, BM25(), tok, [1.0]),
+                       f"post-vacuum:{q!r}")
