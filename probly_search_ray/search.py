@@ -36,14 +36,30 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
 
-from probly_search_ray.functions.codec import decode_blob
 from probly_search_ray.functions.tokenize import get_tokenizer
 from probly_search_ray.state.manifest import Manifest, Stats, Tombstones
 
 
+def _grouped_arange(lengths: np.ndarray) -> np.ndarray:
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.cumsum(lengths) - lengths
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+
+
 class ShardData:
     """Term dictionary + postings for one term range, merged across
-    build groups.  Loaded once (actor ``__init__``), served per query."""
+    build groups.  Loaded once (actor ``__init__``), served per query.
+
+    The on-disk varint blobs are decoded ONCE at load into flat CSR
+    posting arrays (``p_docs`` / ``p_tf`` / ``p_len`` indexed by
+    ``post_off`` per term): query-time posting access is a zero-copy
+    numpy slice, with no per-expansion decode loop — the round-1 p95
+    tail was thousands of rare prefix expansions each paying a Python
+    per-block decode.  The whole load path is vectorized (one varint
+    scan over the concatenated blob stream, block headers parsed in
+    rounds, segmented cumsum for the doc-id deltas)."""
 
     def __init__(self, index_dir: str, term_lo: str | None = None,
                  term_hi: str | None = None):
@@ -83,39 +99,106 @@ class ShardData:
                 want = pa.schema([SEGMENT_SCHEMA.field(n)
                                   for n in t.column_names])
                 tables.append(t.cast(want))
-        if tables:
-            full = pa.concat_tables(tables).sort_by(
-                [("term", "ascending"), ("doc_lo", "ascending")])
-        else:
-            full = None
 
+        F = self.num_fields
         self.terms: list[str] = []
         self.df: np.ndarray = np.empty(0, np.int64)
         self.first_pos: np.ndarray = np.empty(0, np.uint64)
-        self.blobs: list[bytes] = []
-        if full is not None and len(full):
-            terms = full["term"].to_pylist()
-            dfs = full["df"].to_numpy().astype(np.int64)
-            fps = full["first_pos"].to_numpy()
-            blobs = full["blob"].to_pylist()
-            # merge duplicate term rows (adjacent after sort)
-            out_t, out_df, out_fp, out_b = [], [], [], []
-            i = 0
-            n = len(terms)
-            while i < n:
-                j = i + 1
-                while j < n and terms[j] == terms[i]:
-                    j += 1
-                out_t.append(terms[i])
-                out_df.append(int(dfs[i:j].sum()))
-                out_fp.append(fps[i:j].min())
-                out_b.append(b"".join(blobs[i:j]) if j > i + 1 else blobs[i])
-                i = j
-            self.terms = out_t
-            self.df = np.asarray(out_df, dtype=np.int64)
-            self.first_pos = np.asarray(out_fp, dtype=np.uint64)
-            self.blobs = out_b
-        self._decoded: dict[int, tuple] = {}
+        self.post_off: np.ndarray = np.zeros(1, np.int64)
+        self.p_docs: np.ndarray = np.empty(0, np.uint64)
+        self.p_tf: list[np.ndarray] = [np.empty(0, np.float64)] * F
+        self.p_len: list[np.ndarray] = [np.empty(0, np.float64)] * F
+        self.p_occ: np.ndarray = np.empty(0, np.float64)
+        if not tables:
+            return
+        full = pa.concat_tables(tables).sort_by(
+            [("term", "ascending"), ("doc_lo", "ascending")])
+        if not len(full):
+            return
+        self._load_csr(full, F)
+
+    def _load_csr(self, full: pa.Table, F: int) -> None:
+        nrows = len(full)
+        blob_col = full["blob"].combine_chunks()
+        # zero-copy view of the concatenated blob bytes + per-row offsets
+        off_buf = np.frombuffer(blob_col.buffers()[1], dtype=np.int64)
+        off_arr = off_buf[blob_col.offset: blob_col.offset + nrows + 1]
+        data = np.frombuffer(blob_col.buffers()[2], dtype=np.uint8)
+        stream = data[off_arr[0]:off_arr[-1]]
+        row_byte_start = (off_arr[:-1] - off_arr[0]).astype(np.int64)
+
+        # one vectorized varint scan over the whole shard
+        term_mask = (stream & 0x80) == 0
+        v_ends = np.flatnonzero(term_mask)
+        v_starts = np.empty_like(v_ends)
+        if len(v_ends):
+            v_starts[0] = 0
+            v_starts[1:] = v_ends[:-1] + 1
+        lengths = v_ends - v_starts + 1
+        nvals = len(v_ends)
+        vals = np.zeros(nvals, dtype=np.uint64)
+        maxlen = int(lengths.max()) if nvals else 0
+        for j in range(maxlen):
+            sel = lengths > j
+            vals[sel] |= (stream[v_starts[sel] + j].astype(np.uint64)
+                          & np.uint64(0x7F)) << np.uint64(7 * j)
+
+        # rows start at value boundaries; parse block headers in rounds
+        # (#rounds = max blocks per row, small by construction)
+        v_row = np.searchsorted(v_starts, row_byte_start)
+        v_row_end = np.concatenate((v_row[1:], [nvals]))
+        act_v, act_row, act_end = v_row, np.arange(nrows, dtype=np.int64), v_row_end
+        bv_parts, bn_parts, brow_parts = [], [], []
+        while act_v.size:
+            n = vals[act_v].astype(np.int64)
+            bv_parts.append(act_v)
+            bn_parts.append(n)
+            brow_parts.append(act_row)
+            nxt = act_v + 1 + n * (1 + 2 * F)
+            cont = nxt < act_end
+            act_v, act_row, act_end = nxt[cont], act_row[cont], act_end[cont]
+        bv = np.concatenate(bv_parts)
+        bn = np.concatenate(bn_parts)
+        brow = np.concatenate(brow_parts)
+        order = np.lexsort((bv, brow))  # doc-range order within each row
+        bv, bn, brow = bv[order], bn[order], brow[order]
+
+        # doc ids: gather [first, deltas…] per block, segmented cumsum
+        gidx = np.repeat(bv + 1, bn) + _grouped_arange(bn)
+        raw = vals[gidx]
+        cs = np.cumsum(raw)
+        seg_starts = np.cumsum(bn) - bn
+        base = cs[seg_starts] - raw[seg_starts]
+        self.p_docs = (cs - np.repeat(base, bn)).astype(np.uint64)
+        # per-field tf / len sections (query math is float64 — store so)
+        ia = _grouped_arange(bn)
+        sec_base = bv + 1 + bn
+        self.p_tf = [vals[np.repeat(sec_base + f * bn, bn) + ia]
+                     .astype(np.float64) for f in range(F)]
+        self.p_len = [vals[np.repeat(sec_base + (F + f) * bn, bn) + ia]
+                      .astype(np.float64) for f in range(F)]
+        self.p_occ = np.zeros(len(self.p_docs), dtype=np.float64)
+        for tf in self.p_tf:
+            self.p_occ += tf
+
+        # term dictionary: rows are term-sorted, so runs of equal codes
+        # are term runs
+        codes = full["term"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy().astype(np.int64)
+        row_ts = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1])))
+        term_col = full["term"].combine_chunks()
+        self.terms = term_col.take(pa.array(row_ts)).to_pylist()
+        dfs = full["df"].to_numpy().astype(np.int64)
+        fps = full["first_pos"].to_numpy()
+        self.df = np.add.reduceat(dfs, row_ts)
+        self.first_pos = np.minimum.reduceat(fps, row_ts)
+        # postings per row (blocks are row-contiguous after the lexsort)
+        row_counts = np.bincount(brow, weights=bn, minlength=nrows) \
+            .astype(np.int64)
+        term_counts = np.add.reduceat(row_counts, row_ts)
+        self.post_off = np.concatenate(
+            ([0], np.cumsum(term_counts))).astype(np.int64)
 
     # -- dictionary --------------------------------------------------------
 
@@ -130,38 +213,46 @@ class ShardData:
             i += 1
         return out
 
-    def _postings(self, term: str):
+    def _term_index(self, term: str) -> int:
         i = bisect.bisect_left(self.terms, term)
         if i >= len(self.terms) or self.terms[i] != term:
+            return -1
+        return i
+
+    def _postings(self, term: str):
+        i = self._term_index(term)
+        if i < 0:
             return None
-        if i not in self._decoded:
-            docs, occ, tfs, lens = decode_blob(self.blobs[i], self.num_fields)
-            self._decoded[i] = (docs, occ.astype(np.float64),
-                                [t.astype(np.float64) for t in tfs],
-                                [l.astype(np.float64) for l in lens])
-            if len(self._decoded) > 65536:
-                self._decoded.pop(next(iter(self._decoded)))
-        return self._decoded[i]
+        lo, hi = self.post_off[i], self.post_off[i + 1]
+        return (self.p_docs[lo:hi], self.p_occ[lo:hi],
+                [t[lo:hi] for t in self.p_tf],
+                [l[lo:hi] for l in self.p_len])
 
     def df_adjusted(self, term: str, tomb: np.ndarray) -> int:
         """Occurrence-counted df excluding tombstoned docs
         (``src/index.rs:281-297``)."""
-        i = bisect.bisect_left(self.terms, term)
-        if i >= len(self.terms) or self.terms[i] != term:
+        i = self._term_index(term)
+        if i < 0:
             return 0
         if len(tomb) == 0:
             return int(self.df[i])
-        docs, occ, _, _ = self._postings(term)
-        mask = _in_sorted(docs, tomb)
-        return int(self.df[i] - occ[mask].sum())
+        lo, hi = self.post_off[i], self.post_off[i + 1]
+        mask = _in_sorted(self.p_docs[lo:hi], tomb)
+        return int(self.df[i] - self.p_occ[lo:hi][mask].sum())
 
     # -- scoring -----------------------------------------------------------
 
-    def score_bm25(self, term: str, idf_boost: float, fields_boost,
-                   avgs, k1: float, b: float, tomb: np.ndarray,
-                   keep_nonpositive: bool = False):
-        """Vectorized BM25 over a term's posting list
-        (``src/score/default/bm25.rs:60-93``).
+    def score_bm25_batch(self, terms: list[str], idf_boosts, fields_boost,
+                         avgs, k1: float, b: float, tomb: np.ndarray,
+                         keep_nonpositive: bool = False,
+                         topk: int | None = None,
+                         floor: float = -np.inf):
+        """Vectorized BM25 over ALL requested terms' posting lists in one
+        pass (``src/score/default/bm25.rs:60-93``): gather the CSR
+        slices, concatenate, score the whole concatenation with numpy —
+        no per-expansion Python in the hot loop.  Returns
+        ``(rank_idx, docs, scores)`` parallel arrays, where rank_idx is
+        the position in ``terms``.
 
         ``keep_nonpositive=True`` also returns docs whose score is <= 0
         (where the reference's ``score()`` returns ``None``): the
@@ -169,43 +260,60 @@ class ShardData:
         (``src/query.rs:88``, insert outside the ``if let Some``), which
         changes the ``max_score_merger`` outcome for later expansions
         when ``fields_boost`` contains zeros."""
-        p = self._postings(term)
-        if p is None:
-            return np.empty(0, np.uint64), np.empty(0, np.float64)
-        docs, occ, tfs, lens = p
-        if len(tomb):
-            keep = ~_in_sorted(docs, tomb)
-            docs = docs[keep]
-            tfs = [t[keep] for t in tfs]
-            lens = [l[keep] for l in lens]
+        idx = np.fromiter((self._term_index(t) for t in terms),
+                          dtype=np.int64, count=len(terms))
+        present = np.flatnonzero(idx >= 0)
+        if not len(present):
+            return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                    np.empty(0, np.float64))
+        ti = idx[present]
+        seg_lo = self.post_off[ti]
+        seg_n = self.post_off[ti + 1] - seg_lo
+        gidx = np.repeat(seg_lo, seg_n) + _grouped_arange(seg_n)
+        ranks = np.repeat(present, seg_n)
+        docs = self.p_docs[gidx]
+        coef = np.repeat(np.asarray(idf_boosts, dtype=np.float64)[present],
+                         seg_n)
         s = np.zeros(len(docs), dtype=np.float64)
         for x in range(self.num_fields):
-            tf = tfs[x]
+            tf = self.p_tf[x][gidx]
             pos = tf > 0.0
             if not pos.any():
                 continue
-            fl = lens[x][pos]
+            fl = self.p_len[x][gidx][pos]
             tfp = tf[pos]
             tf_norm = ((k1 + 1.0) * tfp) / (
                 k1 * ((1.0 - b) + b * (fl / avgs[x])) + tfp)
-            s[pos] += tf_norm * idf_boost * fields_boost[x]
-        if keep_nonpositive:
-            return docs, s
-        m = s > 0.0
-        return docs[m], s[m]
-
-    def score_bm25_many(self, terms: list[str], idf_boosts: list[float],
-                        fields_boost, avgs, k1: float, b: float,
-                        tomb: np.ndarray, keep_nonpositive: bool = False):
-        """One RPC for all of a query term's expansions owned by this
-        shard: returns [(rank_idx, docs, scores), ...]."""
-        out = []
-        for i, (t, ib) in enumerate(zip(terms, idf_boosts)):
-            docs, s = self.score_bm25(t, ib, fields_boost, avgs, k1, b,
-                                      tomb, keep_nonpositive)
-            if len(docs):
-                out.append((i, docs, s))
-        return out
+            s[pos] += tf_norm * (coef[pos] * fields_boost[x])
+        keep = None
+        if len(tomb):
+            keep = ~_in_sorted(docs, tomb)
+        if not keep_nonpositive:
+            keep = (s > 0.0) if keep is None else keep & (s > 0.0)
+        if keep is not None:
+            ranks, docs, s = ranks[keep], docs[keep], s[keep]
+        if topk is not None and floor > -np.inf and len(docs):
+            # rows below the coordinator's running kth can never enter
+            # the top-k under max-merge (== floor kept for tie-break)
+            m = s >= floor
+            ranks, docs, s = ranks[m], docs[m], s[m]
+        if topk is not None and len(docs) > topk:
+            # per-doc max then per-shard top-k (ties kept): sound for the
+            # single-term prune path because the global score is the max
+            # over expansions, and every doc's best appearance lives in
+            # exactly one shard — k docs already beat anything cut here.
+            o = np.argsort(docs, kind="stable")
+            d_s, s_s = docs[o], s[o]
+            st = np.flatnonzero(np.concatenate(
+                ([True], d_s[1:] != d_s[:-1])))
+            d_u = d_s[st]
+            s_u = np.maximum.reduceat(s_s, st)
+            if len(d_u) > topk:
+                kth = -np.partition(-s_u, topk - 1)[topk - 1]
+                m = s_u >= kth
+                d_u, s_u = d_u[m], s_u[m]
+            return np.zeros(len(d_u), np.int64), d_u, s_u
+        return ranks, docs, s
 
     def df_adjusted_many(self, terms: list[str], tomb: np.ndarray) -> list[int]:
         return [self.df_adjusted(t, tomb) for t in terms]
@@ -326,6 +434,8 @@ class SearchEngine:
     def _reload_tombstones(self):
         tids = Tombstones(self.index_dir).doc_ids
         self.tomb = np.sort(np.asarray(tids, dtype=np.uint64))
+        # expansion cache is df-dependent; only valid with no tombstones
+        self._exp_cache: dict[tuple, tuple] = {}
 
     def _shard_bounds(self, man: Manifest, num_shards: int):
         if num_shards <= 1:
@@ -401,7 +511,22 @@ class SearchEngine:
     def _expansions_for(self, term: str, expand: bool):
         """Global expansion list in reference trie order, with
         tombstone-adjusted df; terms with df == 0 are skipped
-        (``src/query.rs:44-48``) but still shape the order."""
+        (``src/query.rs:44-48``) but still shape the order.
+
+        Results are memoized per engine instance while no tombstones
+        exist (the dictionary is immutable between refreshes): repeated
+        hot prefixes skip the expand fan-out and the Python trie-order
+        reconstruction, which dominate warm-query time for
+        expansion-heavy prefixes."""
+        key = (term, expand)
+        if not len(self.tomb) and key in self._exp_cache:
+            return self._exp_cache[key]
+        res = self._expansions_for_uncached(term, expand)
+        if not len(self.tomb) and len(self._exp_cache) < 65536:
+            self._exp_cache[key] = res
+        return res
+
+    def _expansions_for_uncached(self, term: str, expand: bool):
         per_shard = self._call("expand", term) if expand else None
         if expand:
             all_exp = [e for lst in per_shard for e in lst]
@@ -468,7 +593,6 @@ class SearchEngine:
                     boost = math.log(1.0 + 1.0 / (
                         1.0 + len(e.encode()) - len(term.encode())))
                 idf_boosts.append(idf * boost)
-            docs_parts, s_parts, rank_parts = [], [], []
             if prune:
                 # process expansions in descending score upper bound;
                 # stop when the bound can no longer enter the top-k.
@@ -493,13 +617,10 @@ class SearchEngine:
                     terms_c = [ordered[i] for i in chunk]
                     coefs_c = [idf_boosts[i] for i in chunk]
                     per_shard = self._call(
-                        "score_bm25_many", terms_c, coefs_c, fields_boost,
-                        avgs, k1, b, self.tomb)
-                    dp, sp = [], []
-                    for shard_out in per_shard:
-                        for _, docs_e, s_e in shard_out:
-                            dp.append(docs_e)
-                            sp.append(s_e)
+                        "score_bm25_batch", terms_c, coefs_c, fields_boost,
+                        avgs, k1, b, self.tomb, False, k, float(kth))
+                    dp = [d for _, d, _ in per_shard if len(d)]
+                    sp = [s for _, _, s in per_shard if len(s)]
                     if dp:
                         d_all = np.concatenate(dp)
                         s_all = np.concatenate(sp)
@@ -519,18 +640,14 @@ class SearchEngine:
             # reference are still *visited* (src/query.rs:88), so the
             # truly-first expansion containing a doc defines s_first even
             # when it scores <= 0 (observable with a 0 in fields_boost).
-            per_shard = self._call("score_bm25_many", ordered, idf_boosts,
+            per_shard = self._call("score_bm25_batch", ordered, idf_boosts,
                                    fields_boost, avgs, k1, b, self.tomb, True)
-            for shard_out in per_shard:
-                for rank, docs_e, s_e in shard_out:
-                    docs_parts.append(docs_e)
-                    s_parts.append(s_e)
-                    rank_parts.append(np.full(len(docs_e), rank, np.int64))
-            if not docs_parts:
+            rp = [r for r, _, _ in per_shard if len(r)]
+            if not rp:
                 continue
-            docs_all = np.concatenate(docs_parts)
-            s_all = np.concatenate(s_parts)
-            rank_all = np.concatenate(rank_parts)
+            rank_all = np.concatenate(rp)
+            docs_all = np.concatenate([d for _, d, _ in per_shard if len(d)])
+            s_all = np.concatenate([s for _, _, s in per_shard if len(s)])
             order = np.lexsort((rank_all, docs_all))
             d_s, s_s = docs_all[order], s_all[order]
             starts = np.flatnonzero(

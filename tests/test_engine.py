@@ -190,13 +190,25 @@ def test_actor_pool_query(tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_topk_pruning_exact(tmp_path):
-    """Single-term top-k with expansion pruning == unpruned full query."""
+    """Top-k with expansion pruning == unpruned full query, for
+    single-term (pruned path incl. shard-side top-k + floor cut),
+    hot-prefix (expansion-heavy), and multi-term queries — and the
+    same through sharded actors.  Also differential vs refmodel."""
     rng = np.random.default_rng(11)
     vocab = np.array([p + s for p in ["ba", "be", "bo"]
                       for s in ["", "x", "xy", "xyz", "r", "rr", "q"]])
     corpus = _rand_corpus(rng, 120, 1, vocab, max_len=10)
     eng = build_engine(tmp_path, corpus)
-    for q in ["b", "ba", "bex", "bo"]:
+    eng3 = build_engine(tmp_path / "s3", corpus, num_shards=3)
+    ref = RefIndex(1)
+    for d in sorted(corpus):
+        ref.add_document(list(corpus[d]), tok, d)
+    queries = ["b", "ba", "bex", "bo",            # single-term + prefix
+               "ba bo", "b be", "bax bor b"]      # multi-term
+    for q in queries:
         full = eng.query(q, "bm25")[:5]
-        pruned = eng.query(q, "bm25", k=5)
-        assert_results(pruned, full, f"prune:{q!r}")
+        exp_ref = ref.query(q, BM25(), tok, [1.0])[:5]
+        assert_results(full, exp_ref, f"full-vs-ref:{q!r}")
+        for e, tag in ((eng, "prune"), (eng3, "prune3")):
+            pruned = e.query(q, "bm25", k=5)
+            assert_results(pruned, full, f"{tag}:{q!r}")
