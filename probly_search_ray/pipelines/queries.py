@@ -159,9 +159,13 @@ def minhash_near_dups(sf_dir: str):
 
 def ngram_jaccard_pairs(sf_dir: str):
     """3-token-shingle Jaccard ≥ 0.5 pairs, LSH-candidates then exact
-    verification.  SQL oracle does the brute-force O(n²) equivalent."""
+    verification.  SQL oracle does the brute-force O(n²) equivalent.
+    bands=64 → rows-per-band r=2: candidate-miss probability at the
+    j=0.5 threshold is (1-0.5²)^64 ≈ 1e-8, so the LSH candidate set is
+    effectively exhaustive for the oracle compare (false candidates are
+    removed by the exact verification)."""
     df = near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5,
-                        bands=32)  # high recall for the oracle compare
+                        bands=64)
     return df[["a", "b", "jaccard"]]
 
 
@@ -198,12 +202,26 @@ def simhash(sf_dir: str):
         textstats.simhash_stage, batch_format="pyarrow")
 
 
+def _first_embedding(ds):
+    """Embedding row with the min vec_id — Min aggregate + pushdown
+    filter, NOT a full sort (``sort().limit(1)`` shuffles everything
+    to fetch one row)."""
+    from ray.data.aggregate import Min
+    mn = ds.aggregate(Min("vec_id"))["min(vec_id)"]
+
+    def pick(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.equal(b["vec_id"], mn))
+
+    first = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return np.stack(first["embedding"].to_numpy())
+
+
 def embedding_topk(sf_dir: str):
     """Cosine top-10 vs the embedding of the smallest vec_id."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = ray.data.read_parquet(path)
-    first = ds.sort("vec_id").limit(1).to_pandas()
-    q = np.stack(first["embedding"].to_numpy())
+    q = _first_embedding(ds)
     df = brute_topk(ds, q, k=10)
     out = df[df["query_idx"] == 0][["vec_id", "cosine"]].reset_index(drop=True)
     return out
@@ -215,17 +233,34 @@ def embedding_topk_ivf(sf_dir: str):
     from probly_search_ray.stages.similarity import ivf_topk
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = ray.data.read_parquet(path)
-    first = ds.sort("vec_id").limit(1).to_pandas()
-    q = np.stack(first["embedding"].to_numpy())
+    q = _first_embedding(ds)
     df = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=8)
     return df[df["query_idx"] == 0][["vec_id", "cosine"]].reset_index(drop=True)
 
 
+# the synthetic embeddings are near-orthogonal (max pairwise cosine
+# ~0.51), so the near-dup threshold is set where real pairs exist —
+# a vacuous 0-row oracle match proves nothing
+NEAR_DUP_TAU = 0.4
+
+
 def embedding_near_dups(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.99)."""
+    """Embedding-cosine pairs ≥ NEAR_DUP_TAU — EXACT via the blocked
+    cross product (object-store blocks, no driver materialization)."""
     from probly_search_ray.stages.similarity import embedding_near_dup_pairs
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dup_pairs(ds, threshold=0.99)
+    # 5dp: duckdb's float32-accumulated cosine and numpy's float64 one
+    # disagree by ~2e-7 — enough to flip a 6th decimal at .5 boundaries
+    return embedding_near_dup_pairs(ds, threshold=NEAR_DUP_TAU, round_dp=5)
+
+
+def embedding_near_dups_bucketed(sf_dir: str):
+    """Scale path: multi-probe IVF-bucketed near-dup pairs (approximate
+    — rows-only check; recall gated by the planted-dup pytest)."""
+    from probly_search_ray.stages.similarity import bucketed_near_dup_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return bucketed_near_dup_pairs(ds, threshold=NEAR_DUP_TAU,
+                                   n_clusters=8, n_probe=4)
 
 
 def events_hourly(sf_dir: str):
@@ -258,19 +293,20 @@ def sessions(sf_dir: str):
 
 def dup_clusters(sf_dir: str):
     """Exact-duplicate cluster mapping: (doc_id, cluster_id=min doc id
-    of identical-text group)."""
+    of identical-text group) — a C-level Min aggregate plus a
+    distributed hash join back onto the hashed rows; no per-group
+    Python (billions of singleton groups at scale would each pay a
+    pandas call under ``map_groups``)."""
     from ray.data.aggregate import Min
     from probly_search_ray.stages.dedup import add_content_hash
 
     hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         add_content_hash, batch_format="pyarrow")
-
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": g["doc_id"],
-                             "cluster_id": g["doc_id"].min()})
-
-    return hashed.groupby("content_hash").map_groups(
-        assign, batch_format="pandas")
+    mins = hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="cluster_id"))
+    joined = hashed.join(mins, join_type="inner", num_partitions=8,
+                         on=("content_hash",))
+    return joined.select_columns(["doc_id", "cluster_id"])
 
 
 QUERIES = {
@@ -296,6 +332,7 @@ QUERIES = {
     "embedding_topk": embedding_topk,
     "embedding_topk_ivf": embedding_topk_ivf,
     "embedding_near_dups": embedding_near_dups,
+    "embedding_near_dups_bucketed": embedding_near_dups_bucketed,
     "events_hourly": events_hourly,
 }
 
@@ -455,12 +492,13 @@ ORACLES = {
     "lang_dist": """
         SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
     """,
-    "embedding_near_dups": """
+    "embedding_near_dups": f"""
         SELECT a.vec_id AS a, b.vec_id AS b,
-               round(list_cosine_similarity(a.embedding, b.embedding), 6)
+               round(list_cosine_similarity(a.embedding, b.embedding), 5)
                  AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        WHERE list_cosine_similarity(a.embedding, b.embedding)
+              >= {NEAR_DUP_TAU}
     """,
     "embedding_topk": """
         WITH q AS (

@@ -73,17 +73,29 @@ class MinHashStage:
         })
 
 
+def _combine_band_key(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    """(band, band_hash) → one well-mixed uint64 key (mod-2^64 mix), so
+    collision membership is a single vectorized ``np.isin``."""
+    with np.errstate(over="ignore"):
+        return (band_hash.astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + band.astype(np.uint64))
+
+
 def lsh_candidate_pairs(docs_ds, k: int = 128, bands: int = 16, w: int = 3,
                         text_col: str = "text", max_bucket: int = 64):
     """Candidate near-dup pairs from MinHash LSH banding.
     Returns a pandas DataFrame of (a, b) doc-id pairs, a < b, deduped.
 
     Shape: the all-to-all work is ONE C-level count aggregate over
-    (band, band_hash) keys; only *colliding* buckets (a tiny fraction —
-    real near-dup collisions) are pulled and expanded into pairs, so
-    per-group Python overhead is proportional to actual collisions,
-    never to the corpus.  Buckets larger than ``max_bucket`` are
-    truncated (hot boilerplate clusters need a dedicated pass)."""
+    (band, band_hash) keys; colliding-key membership is a vectorized
+    ``np.isin`` against the (small) broadcast key array; pair expansion
+    runs DISTRIBUTED inside ``groupby(bucket).map_groups`` (vectorized
+    ``np.triu_indices`` per bucket), so the driver only ever sees the
+    deduped candidate pairs — work is proportional to actual
+    collisions, never to the corpus.  Buckets larger than
+    ``max_bucket`` are truncated (hot boilerplate clusters need a
+    dedicated pass)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
@@ -100,28 +112,35 @@ def lsh_candidate_pairs(docs_ds, k: int = 128, bands: int = 16, w: int = 3,
     if len(dup_keys) == 0:
         return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                              "b": pd.Series(dtype=np.int64)})
-    # broadcast the (small) colliding-key set; filter band rows to it
-    key_set = set(zip(dup_keys["band"].to_numpy().tolist(),
-                      dup_keys["band_hash"].to_numpy().tolist()))
+    keys = np.sort(_combine_band_key(dup_keys["band"].to_numpy(),
+                                     dup_keys["band_hash"].to_numpy()))
+    keys_ref = __import__("ray").put(keys)
 
     def only_colliding(t: pa.Table) -> pa.Table:
-        b = t["band"].to_numpy()
-        h = t["band_hash"].to_numpy()
-        mask = np.fromiter(((int(x), int(y)) in key_set
-                            for x, y in zip(b, h)), bool, len(t))
-        return t.filter(pa.array(mask))
+        import ray as _ray
+        ks = _ray.get(keys_ref)
+        key = _combine_band_key(t["band"].to_numpy(),
+                                t["band_hash"].to_numpy())
+        idx = np.searchsorted(ks, key)
+        idx = np.minimum(idx, len(ks) - 1)
+        mask = ks[idx] == key
+        return pa.table({"bucket": pa.array(key[mask], type=pa.uint64()),
+                         "doc_id": t["doc_id"].filter(pa.array(mask))})
 
-    hits = bands_mat.map_batches(only_colliding,
-                                 batch_format="pyarrow").to_pandas()
-    pairs = set()
-    for (_, _), g in hits.groupby(["band", "band_hash"]):
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())[:max_bucket]
         ii, jj = np.triu_indices(len(ids), k=1)
-        pairs.update(zip(ids[ii].tolist(), ids[jj].tolist()))
-    out = sorted(pairs)
-    return pd.DataFrame(out, columns=["a", "b"]) if out else \
-        pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                      "b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"a": ids[ii].astype(np.int64),
+                             "b": ids[jj].astype(np.int64)})
+
+    pairs = bands_mat.map_batches(only_colliding, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(emit_pairs, batch_format="pandas") \
+        .to_pandas()
+    if "a" not in pairs.columns or not len(pairs):
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                             "b": pd.Series(dtype=np.int64)})
+    return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]) \
+        .reset_index(drop=True)
 
 
 def jaccard_verify(docs_ds, pairs_df: pd.DataFrame, threshold: float,
@@ -135,11 +154,9 @@ def jaccard_verify(docs_ds, pairs_df: pd.DataFrame, threshold: float,
                              "jaccard": pd.Series(dtype=np.float64)})
     cand = np.unique(np.concatenate([pairs_df["a"].to_numpy(),
                                      pairs_df["b"].to_numpy()]))
-    cand_set = set(int(x) for x in cand)
 
     def only_cands(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy()
-        mask = np.fromiter((int(x) in cand_set for x in ids), bool, len(ids))
+        mask = np.isin(b["doc_id"].to_numpy(), cand)
         return b.filter(pa.array(mask))
 
     sets: dict[int, set] = {}

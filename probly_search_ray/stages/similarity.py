@@ -1,19 +1,24 @@
 """Similarity search over an embedding column (``list<float>``).
 
 - ``brute_topk``: exact cosine top-k — the query matrix is broadcast
-  once (``ray.put``), each batch does one numpy matmul, per-batch
-  top-k candidates are reduced on the driver (k rows per batch, tiny).
+  once (``ray.put``), each batch does one numpy matmul and emits only
+  its tie-safe per-batch top-k rows (≤ (k + ties)·nq per batch), so the
+  driver merge is bounded by k·nq·n_batches, never the corpus.
 - ``ivf_topk``: scale path — deterministic k-means-lite centroids from
   a sample, assignment per batch, probe the closest ``nprobe``
-  clusters only.  Exact within probed clusters.
-- ``embedding_near_dup_pairs``: cosine ≥ threshold near-dup pairs.
+  clusters only; same per-batch top-k truncation.
+- ``embedding_near_dup_pairs``: EXACT cosine ≥ threshold pairs via a
+  blocked cross product of object-store blocks (O(B²) tasks, streaming
+  block reads, no whole-dataset materialization on the driver).
+- ``bucketed_near_dup_pairs``: approximate scale path for HIGH
+  thresholds — multi-probe IVF bucketing, pairs only within buckets
+  (O(Σ bucket²) instead of O(n²)).
 """
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -23,10 +28,20 @@ def _to_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     arr = col
-    values = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
-    offsets = arr.offsets.to_numpy()
-    dim = int(offsets[1] - offsets[0]) if len(arr) else 0
-    return values.reshape(len(arr), dim)
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray,
+                        pa.FixedSizeListArray)):
+        values = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
+        if isinstance(arr, pa.FixedSizeListArray):
+            dim = arr.type.list_size
+        else:
+            offsets = arr.offsets.to_numpy()
+            dim = int(offsets[1] - offsets[0]) if len(arr) else 0
+        return values.reshape(len(arr), dim)
+    # tensor-extension / object column (e.g. from_pandas with ndarrays)
+    m = arr.to_numpy(zero_copy_only=False)
+    if m.dtype == object:
+        m = np.stack(m)
+    return np.asarray(m, dtype=np.float32)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -35,26 +50,49 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_rows_per_query(sims: np.ndarray, k: int):
+    """Tie-safe per-query top-k cut over a (n, nq) similarity matrix:
+    keeps every row with sim >= the query's kth value, so a later
+    global (cosine desc, id asc) sort is unaffected by the cut.
+    Returns (row_idx, query_idx) of kept entries."""
+    n, nq = sims.shape
+    if n > k:
+        kth = -np.partition(-sims, k - 1, axis=0)[k - 1]  # (nq,)
+        mask = sims >= kth
+    else:
+        mask = np.ones_like(sims, dtype=bool)
+    rows, qs = np.nonzero(mask)
+    return rows, qs
+
+
 class _BatchCosine:
     """Actor-pool stage: query matrix fetched from the object store
-    once per actor (``ray.put`` broadcast), matmul per batch."""
+    once per actor (``ray.put`` broadcast), matmul per batch, per-batch
+    tie-safe top-k — k rows per (batch, query) leave the stage."""
 
-    def __init__(self, q_ref, id_col: str, vec_col: str):
+    def __init__(self, q_ref, id_col: str, vec_col: str, k: int):
         # float64 so 6-dp rounding is stable vs a double-precision oracle
         self.q = _normalize(ray.get(q_ref).astype(np.float64))  # (nq, dim)
         self.id_col, self.vec_col = id_col, vec_col
+        self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch[self.vec_col]).astype(np.float64))
-        sims = m @ self.q.T  # (n, nq)
+        sims = np.round(m @ self.q.T, 6)  # (n, nq); round BEFORE ranking
         ids = batch[self.id_col].to_numpy()
-        nq = sims.shape[1]
+        rows, qs = _topk_rows_per_query(sims, self.k)
         return pa.table({
-            "query_idx": pa.array(np.repeat(np.arange(nq, dtype=np.int32),
-                                            len(ids))),
-            self.id_col: pa.array(np.tile(ids, nq)),
-            "cosine": pa.array(np.round(sims.T.reshape(-1).astype(np.float64), 6)),
+            "query_idx": pa.array(qs.astype(np.int32)),
+            self.id_col: pa.array(ids[rows]),
+            "cosine": pa.array(sims[rows, qs]),
         })
+
+
+def _merge_topk(df: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    df = df.sort_values(["query_idx", "cosine", id_col],
+                        ascending=[True, False, True], kind="stable")
+    return df.groupby("query_idx", as_index=False).head(k) \
+        .reset_index(drop=True)
 
 
 def brute_topk(emb_ds, queries: np.ndarray, k: int = 10,
@@ -66,29 +104,10 @@ def brute_topk(emb_ds, queries: np.ndarray, k: int = 10,
     q_ref = ray.put(np.ascontiguousarray(queries, dtype=np.float32))
     kwargs = {"concurrency": concurrency} if concurrency else {}
     scored = emb_ds.map_batches(
-        _BatchCosine, fn_constructor_args=(q_ref, id_col, vec_col),
+        _BatchCosine, fn_constructor_args=(q_ref, id_col, vec_col, k),
         batch_format="pyarrow", **kwargs)
-    # streaming top-k reduce on the driver: keep a heap per query
-    heaps: dict[int, list] = {}
-    for b in scored.iter_batches(batch_format="pyarrow"):
-        qi = b["query_idx"].to_numpy()
-        ids = b[id_col].to_numpy()
-        cos = b["cosine"].to_numpy()
-        for q in np.unique(qi):
-            sel = qi == q
-            h = heaps.setdefault(int(q), [])
-            for i, c in zip(ids[sel], cos[sel]):
-                item = (c, -int(i))  # cosine asc, id desc → min-heap keeps top-k
-                if len(h) < k:
-                    heapq.heappush(h, item)
-                elif item > h[0]:
-                    heapq.heapreplace(h, item)
-    import pandas as pd
-    rows = []
-    for q in sorted(heaps):
-        for c, negi in sorted(heaps[q], key=lambda t: (-t[0], -t[1])):
-            rows.append((q, -negi, c))
-    return pd.DataFrame(rows, columns=["query_idx", id_col, "cosine"])
+    # bounded merge: ≤ (k + ties)·nq rows per batch reach the driver
+    return _merge_topk(scored.to_pandas(), k, id_col)
 
 
 def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,
@@ -113,14 +132,15 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", sample_rows: int = 2048):
     """IVF-style ANN: centroid assignment per batch, score only vectors
-    in the ``nprobe`` clusters closest to each query."""
+    in the ``nprobe`` clusters closest to each query; per-batch tie-safe
+    top-k truncation keeps the driver merge bounded by k·nq·n_batches."""
     sample = emb_ds.limit(sample_rows).to_pandas()[vec_col]
     sm = np.stack(sample.to_numpy())
     cents = kmeans_lite(sm, n_clusters)
     c_ref = ray.put(cents)
-    qn = _normalize(np.ascontiguousarray(queries, dtype=np.float32))
-    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    probe_sets = [set(p.tolist()) for p in probe]
+    qn = _normalize(np.ascontiguousarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T.astype(np.float64)), axis=1)[:, :nprobe]
+    probe_lists = [np.asarray(sorted(p.tolist())) for p in probe]
     q_ref = ray.put(qn)
 
     class _IVF:
@@ -129,18 +149,25 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
             self.q = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_to_matrix(batch[vec_col]))
-            assign = np.argmax(m @ self.c.T, axis=1)
+            m = _normalize(_to_matrix(batch[vec_col]).astype(np.float64))
+            assign = np.argmax(m @ self.c.T.astype(np.float64), axis=1)
             ids = batch[id_col].to_numpy()
             out_q, out_i, out_c = [], [], []
-            for qi, pset in enumerate(probe_sets):
-                mask = np.isin(assign, list(pset))
+            for qi, plist in enumerate(probe_lists):
+                mask = np.isin(assign, plist)
                 if not mask.any():
                     continue
-                sims = m[mask] @ self.q[qi]
-                out_q.append(np.full(mask.sum(), qi, dtype=np.int32))
-                out_i.append(ids[mask])
-                out_c.append(np.round(sims.astype(np.float64), 6))
+                sims = np.round(m[mask] @ self.q[qi], 6)
+                if len(sims) > k:  # tie-safe per-batch top-k
+                    kth = -np.partition(-sims, k - 1)[k - 1]
+                    keep = sims >= kth
+                    sims = sims[keep]
+                    sel_ids = ids[mask][keep]
+                else:
+                    sel_ids = ids[mask]
+                out_q.append(np.full(len(sims), qi, dtype=np.int32))
+                out_i.append(sel_ids)
+                out_c.append(sims)
             if not out_q:
                 return pa.table({"query_idx": pa.array([], pa.int32()),
                                  id_col: pa.array([], pa.int64()),
@@ -150,39 +177,128 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
                              "cosine": pa.array(np.concatenate(out_c))})
 
     scored = emb_ds.map_batches(_IVF, batch_format="pyarrow", concurrency=2)
-    df = scored.to_pandas()
-    df = df.sort_values(["query_idx", "cosine", id_col],
-                        ascending=[True, False, True])
-    return df.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+    return _merge_topk(scored.to_pandas(), k, id_col)
+
+
+@ray.remote
+def _pair_block(blk_a, blk_b, threshold: float, same: bool, round_dp: int):
+    """Cosine-pair search between two id/matrix blocks (one task of the
+    blocked cross product)."""
+    ia, ma = blk_a
+    ib, mb = blk_b
+    sims = ma @ mb.T
+    ii, jj = np.nonzero(sims >= threshold)
+    a, b = ia[ii], ib[jj]
+    cos = np.round(sims[ii, jj], round_dp)
+    if same:
+        keep = a < b
+        a, b, cos = a[keep], b[keep], cos[keep]
+    else:  # normalize unordered pair to (min, max)
+        a, b = np.minimum(a, b), np.maximum(a, b)
+    return a, b, cos
 
 
 def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding"):
-    """Cosine-similar pairs (a < b, cosine ≥ threshold).  In-memory
-    matmul per batch against the full (broadcast) matrix — the sandbox
-    path; at scale, bucket by IVF cluster first."""
-    tbl = emb_ds.to_pandas()
-    ids = tbl[id_col].to_numpy()
-    m = _normalize(np.stack(tbl[vec_col].to_numpy()).astype(np.float64))
-    ref = ray.put((ids, m))
+                             vec_col: str = "embedding",
+                             block_rows: int = 8192, round_dp: int = 6):
+    """EXACT cosine-similar pairs (a < b, cosine ≥ threshold).
 
-    def block(batch: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(ref)
-        bm = _normalize(_to_matrix(batch[vec_col]).astype(np.float64))
-        bids = batch[id_col].to_numpy()
-        sims = bm @ all_m.T
-        ii, jj = np.nonzero(sims >= threshold)
-        a, b = bids[ii], all_ids[jj]
-        keep = a < b
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
-                         "cosine": pa.array(
-                             np.round(sims[ii, jj][keep].astype(np.float64), 6))})
+    Blocked cross product: the dataset streams through the driver once
+    as normalized (ids, matrix) blocks pinned in the object store; one
+    Ray task per block pair (i ≤ j) emits only matching pairs.  Compute
+    is inherently O(n²/2) for exact all-pairs, but memory per task is
+    one block pair and the driver holds only refs + result pairs —
+    no whole-dataset materialization.  For high thresholds at scale,
+    prefer ``bucketed_near_dup_pairs``."""
+    refs = []
+    for b in emb_ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_format="pyarrow", batch_size=block_rows):
+        ids = b[id_col].to_numpy()
+        m = _normalize(_to_matrix(b[vec_col]).astype(np.float64))
+        refs.append(ray.put((ids, m)))
+    futs = [_pair_block.remote(refs[i], refs[j], threshold, i == j,
+                               round_dp)
+            for i in range(len(refs)) for j in range(i, len(refs))]
+    parts = ray.get(futs)
+    if parts:
+        a = np.concatenate([p[0] for p in parts])
+        b = np.concatenate([p[1] for p in parts])
+        cos = np.concatenate([p[2] for p in parts])
+    else:
+        a = b = np.empty(0, np.int64)
+        cos = np.empty(0, np.float64)
+    out = pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64),
+                        "cosine": cos.astype(np.float64)})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
-    out = emb_ds.map_batches(block, batch_format="pyarrow").to_pandas()
-    if "a" not in out.columns:  # zero matching pairs → typed empty frame
-        import pandas as pd
+
+def bucketed_near_dup_pairs(emb_ds, threshold: float = 0.95,
+                            n_clusters: int = 16, n_probe: int = 3,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            sample_rows: int = 2048):
+    """Approximate near-dup pairs for HIGH thresholds at scale: assign
+    each vector to its ``n_probe`` nearest IVF clusters (multi-probe, so
+    near-identical vectors landing near a cluster boundary still share
+    a bucket), generate pairs only within buckets via a distributed
+    ``groupby(bucket).map_groups``, dedupe, then exact-verify the
+    cosine.  O(Σ bucket²) compute instead of O(n²); recall < 1 only
+    when two vectors at cosine ≥ threshold share none of their
+    ``n_probe`` nearest centroids (vanishingly rare for thresholds
+    near 1 — gated by the planted-dup recall test)."""
+    sample = emb_ds.limit(sample_rows).to_pandas()[vec_col]
+    cents = kmeans_lite(np.stack(sample.to_numpy()), n_clusters)
+    c_ref = ray.put(cents)
+
+    class _Assign:
+        """Vectors ride the bucket shuffle as fixed-size binary (raw
+        float32 bytes) — plain binary columns shuffle through any sort
+        backend, unlike tensor-extension/list columns."""
+
+        def __init__(self):
+            self.c = ray.get(c_ref).astype(np.float64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m32 = _to_matrix(batch[vec_col])
+            m = _normalize(m32.astype(np.float64))
+            sims = m @ self.c.T
+            p = min(n_probe, sims.shape[1])
+            near = np.argpartition(-sims, p - 1, axis=1)[:, :p]  # (n, p)
+            ids = batch[id_col].to_numpy()
+            n, dim = m32.shape
+            idx = np.repeat(np.arange(n), p)
+            flat = np.ascontiguousarray(m32[idx])
+            vec_bytes = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(4 * dim), len(idx),
+                [None, pa.py_buffer(flat.tobytes())])
+            return pa.table({
+                "bucket": pa.array(near.reshape(-1).astype(np.int32)),
+                id_col: pa.array(ids[idx]),
+                "vec_raw": vec_bytes,
+            })
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.frombuffer(b"".join(g["vec_raw"]), dtype=np.float32) \
+            .reshape(len(g), -1)[order]
+        m = _normalize(m.astype(np.float64))
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({
+            "a": ids[ii].astype(np.int64), "b": ids[jj].astype(np.int64),
+            "cosine": np.round(sims[ii, jj], 6)})
+
+    pairs = emb_ds.map_batches(_Assign, batch_format="pyarrow",
+                               concurrency=2) \
+        .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
+    out = pairs.to_pandas()
+    if "a" not in out.columns:
         out = pd.DataFrame({"a": pd.Series(dtype=np.int64),
                             "b": pd.Series(dtype=np.int64),
                             "cosine": pd.Series(dtype=np.float64)})
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    # a pair can collide in up to n_probe shared buckets → dedupe
+    out = out.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return out.reset_index(drop=True)
