@@ -79,7 +79,9 @@ def _finalize_file(path: str, num_fields: int):
             tables.append(mt)
             num_docs += len(mt)
             for fi in range(num_fields):
-                sums[fi] += int(np.sum(mt[f"len_{fi}"].to_numpy()))
+                # corpus sums accumulate ALL values (tot), not the
+                # stored last-value field_length (src/index.rs:112-114)
+                sums[fi] += int(np.sum(mt[f"tot_{fi}"].to_numpy()))
         meta = ray.put(pa.concat_tables(tables))
     return rec, num_docs, sums, meta
 
@@ -129,11 +131,21 @@ def build_index(
     resume: bool = True,
     pre_transform=None,
     read_cols: list[str] | None = None,
+    string_key: bool = False,
 ) -> dict:
     """Build (or resume building) an index over Parquet inputs.
 
     Returns the manifest data.  Docs must carry unique ``key_col`` ids;
     insertion order (for reference-order parity) is ascending doc_id.
+
+    ``string_key=True``: ``key_col`` holds string keys (urls) — the
+    reference's generic ``T`` key (``src/index.rs:35``).  Each key is
+    hashed to a deterministic uint64 doc_id inside the fused encode
+    stage (no coordination), a (key, doc_id) sidecar is written per
+    group (``state/keymap.py``), and results map back to keys via
+    ``SearchEngine.keys_for`` / ``keymap.urls_for``.  Insertion order
+    is then ascending *hash* order (deterministic; differentials add
+    refmodel docs in the same order).
     """
     from probly_search_ray.functions.mem import tune_allocator
     tune_allocator()
@@ -143,6 +155,16 @@ def build_index(
     except Exception:
         pass
     field_cols = field_cols or ["text"]
+    if string_key:
+        from probly_search_ray.state.keymap import add_doc_ids
+        user_pre, user_key = pre_transform, key_col
+
+        def pre_transform(b, _old=user_pre):  # noqa: F811
+            if _old is not None:
+                b = _old(b)
+            return add_doc_ids(b, user_key)
+
+        key_col = "doc_id"
     if overwrite and os.path.exists(index_dir):
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
@@ -162,6 +184,8 @@ def build_index(
         man = Manifest(index_dir)
     man.set_config({
         "format_version": FORMAT_VERSION,
+        "string_key": bool(string_key),
+        "orig_key_col": (user_key if string_key else key_col),
         "key_col": key_col, "field_cols": field_cols, "tokenizer": tokenizer,
         "num_fields": len(field_cols), "block_postings": block_postings,
         "batch_size": batch_size, "input_files": files,
@@ -183,8 +207,15 @@ def build_index(
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)
 
+        if string_key:
+            # (key, doc_id) sidecar for this group — same resume unit
+            from probly_search_ray.state.keymap import write_keymap
+            write_keymap(ray.data.read_parquet(gfiles, columns=[user_key]),
+                         user_key, index_dir, group=gid)
         ds = ray.data.read_parquet(
-            gfiles, columns=read_cols or ([key_col] + field_cols))
+            gfiles,
+            columns=read_cols or (
+                ([user_key] if string_key else [key_col]) + field_cols))
         # ONE fused stage: (extract →) tokenize+count+encode.  Stateless
         # task pool: setup is trivial, so tasks on Ray's long-lived
         # worker pool amortize per-process warmup just as well as actors

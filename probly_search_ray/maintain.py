@@ -61,6 +61,13 @@ def remove_documents(index_dir: str, doc_ids) -> int:
     return len(found)
 
 
+def remove_documents_by_key(index_dir: str, keys) -> int:
+    """Remove string-keyed docs: hashing is deterministic, so the
+    doc_ids are recomputed without touching the sidecar."""
+    from probly_search_ray.state.keymap import hash_keys
+    return remove_documents(index_dir, [int(h) for h in hash_keys(list(keys))])
+
+
 def _docs_field_lengths(index_dir: str, doc_ids) -> dict[int, list[int]]:
     """Field lengths for a batch of doc ids — one predicate-pushdown scan
     over the docmeta files (not one scan per doc)."""
@@ -75,7 +82,7 @@ def _docs_field_lengths(index_dir: str, doc_ids) -> dict[int, list[int]]:
     t = ds.to_table(filter=pads.field("doc_id").isin(ids_arr))
     if len(t) == 0:
         return {}
-    nf = len(t.column_names) - 1
+    nf = sum(1 for c in t.column_names if c.startswith("len_"))
     ids = t["doc_id"].to_numpy()
     lens = [t[f"len_{f}"].to_numpy() for f in range(nf)]
     return {int(d): [int(lens[f][i]) for f in range(nf)]
@@ -102,8 +109,9 @@ class _Compactor:
                 if not keep.any():
                     continue
                 lens = [mt[f"len_{f}"].to_numpy()[keep] for f in range(self.nf)]
+                tots = [mt[f"tot_{f}"].to_numpy()[keep] for f in range(self.nf)]
                 keep_rows.append(i)
-                new_blobs.append(docmeta_ipc(ids[keep], lens))
+                new_blobs.append(docmeta_ipc(ids[keep], lens, tots))
                 new_df.append(int(keep.sum()))
                 new_lo.append(int(ids[keep].min()))
                 new_hi.append(int(ids[keep].max()))
@@ -216,7 +224,7 @@ def vacuum(index_dir: str) -> None:
                 meta_tables.append(mt)
                 num_docs += len(mt)
                 for fi in range(nf):
-                    sums[fi] += int(np.sum(mt[f"len_{fi}"].to_numpy()))
+                    sums[fi] += int(np.sum(mt[f"tot_{fi}"].to_numpy()))
         meta_path = os.path.join(index_dir, "docmeta", f"group={gid}.parquet")
         if meta_tables:
             tmp = meta_path + ".tmp"

@@ -197,26 +197,35 @@ class RefIndex:
 
     # -- build -------------------------------------------------------------
 
-    def add_document(self, field_texts: list[str], tokenizer: Callable,
+    def add_document(self, field_texts: list, tokenizer: Callable,
                      key) -> None:
-        """``src/index.rs:77-158``.  ``field_texts`` = one string per field
-        (the common case of a single-value accessor)."""
+        """``src/index.rs:77-158``.  ``field_texts`` = one string OR a
+        list of strings per field (``FieldAccessor<D> -> Vec<&str>``,
+        ``src/lib.rs:11``).  Multi-value quirks preserved exactly
+        (``src/index.rs:90-116``): ``sum`` accumulates every value's
+        kept-token count, but ``field_length[i]`` is *assigned* per
+        value — the stored per-doc length is the LAST value's count."""
         field_length = [0] * len(self.fields)
         term_counts: dict[str, list[int]] = {}
         all_terms: list[str] = []
         for i in range(len(self.fields)):
-            terms = tokenizer(field_texts[i])
-            cnt = 0
-            for term in terms:
-                if term != "":
-                    cnt += 1
-                    all_terms.append(term)
-                    counts = term_counts.setdefault(term, [0] * len(self.fields))
-                    counts[i] += 1
+            vals = field_texts[i]
+            if isinstance(vals, str):
+                vals = [vals]
             fd = self.fields[i]
-            fd.sum += cnt
-            fd.avg = fd.sum / (len(self.docs) + 1.0)
-            field_length[i] = cnt
+            for val in vals:
+                terms = tokenizer(val)
+                cnt = 0
+                for term in terms:
+                    if term != "":
+                        cnt += 1
+                        all_terms.append(term)
+                        counts = term_counts.setdefault(
+                            term, [0] * len(self.fields))
+                        counts[i] += 1
+                fd.sum += cnt
+                fd.avg = fd.sum / (len(self.docs) + 1.0)
+                field_length[i] = cnt  # last value wins (src/index.rs:114)
         self.docs[key] = field_length
         for term in all_terms:
             node = self.root

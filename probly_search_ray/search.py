@@ -199,6 +199,19 @@ class ShardData:
         term_counts = np.add.reduceat(row_counts, row_ts)
         self.post_off = np.concatenate(
             ([0], np.cumsum(term_counts))).astype(np.int64)
+        # With sequential doc ids, batch ranges are disjoint and the
+        # doc_lo-ordered block concat is already doc-sorted per term;
+        # hashed string keys overlap across batches — detect and do one
+        # segmented sort so "newest-first = descending doc id" holds.
+        if len(self.p_docs) > 1:
+            tid = np.repeat(np.arange(len(term_counts)), term_counts)
+            bad = self.p_docs[1:] < self.p_docs[:-1]
+            if bad.any() and (tid[:-1][bad] == tid[1:][bad]).any():
+                order = np.lexsort((self.p_docs, tid))
+                self.p_docs = self.p_docs[order]
+                self.p_occ = self.p_occ[order]
+                self.p_tf = [t[order] for t in self.p_tf]
+                self.p_len = [l[order] for l in self.p_len]
 
     # -- dictionary --------------------------------------------------------
 
@@ -406,30 +419,58 @@ class SearchEngine:
     def __init__(self, index_dir: str, num_shards: int = 1,
                  use_actors: bool = False):
         self.index_dir = index_dir
-        man = Manifest(index_dir)
+        self.num_shards = num_shards
+        self.use_actors = use_actors
+        self._load()
+
+    def _load(self):
+        man = Manifest(self.index_dir)
         cfg = man.data["config"]
         if not cfg:
             raise FileNotFoundError(
-                f"no index at {index_dir} (missing/empty manifest.json); "
+                f"no index at {self.index_dir} (missing/empty manifest.json); "
                 f"build one with build_index(...) or the CLI 'build' command")
         self.num_fields = cfg["num_fields"]
         self.tokenizer = get_tokenizer(cfg["tokenizer"])
-        self.stats = Stats(index_dir)
+        self.stats = Stats(self.index_dir)
         self._reload_tombstones()
-        bounds = self._shard_bounds(man, num_shards)
-        self.use_actors = use_actors
-        if use_actors:
+        self._manifest_sig = self._sig(man)
+        bounds = self._shard_bounds(man, self.num_shards)
+        if self.use_actors:
             import ray
             # size CPU requests so the whole pool always schedules, even
             # when shards outnumber available CPUs (else: deadlock)
             avail = ray.cluster_resources().get("CPU", len(bounds))
             cpus = max(0.1, min(1.0, (avail - 1) / max(len(bounds), 1)))
             Actor = ray.remote(num_cpus=cpus)(ShardData)
-            self.shards = [Actor.remote(index_dir, lo, hi)
+            self.shards = [Actor.remote(self.index_dir, lo, hi)
                            for lo, hi in bounds]
             self._ray = ray
         else:
-            self.shards = [ShardData(index_dir, lo, hi) for lo, hi in bounds]
+            self.shards = [ShardData(self.index_dir, lo, hi)
+                           for lo, hi in bounds]
+
+    @staticmethod
+    def _sig(man: Manifest):
+        return [(gid, rec.get("vacuum_gen", 0), len(rec["term_files"]))
+                for gid, rec in sorted(man.groups.items())]
+
+    def refresh(self) -> bool:
+        """Pick up index changes made since load — appended groups
+        (incremental ``build_index``), vacuum swaps, removals.  The
+        analogue of the reference's shared-``Mutex<Index>`` concurrent
+        add+query (``tests/integrations_tests.rs:151-168``): an engine
+        serves a consistent snapshot, and ``refresh()`` moves it to the
+        latest committed state.  Returns True if shards were reloaded
+        (manifest changed); tombstones/stats reload is always applied
+        (cheap)."""
+        man = Manifest(self.index_dir)
+        if self._sig(man) != self._manifest_sig:
+            self._load()
+            return True
+        self.stats = Stats(self.index_dir)
+        self._reload_tombstones()
+        return False
 
     def _reload_tombstones(self):
         tids = Tombstones(self.index_dir).doc_ids
@@ -466,6 +507,18 @@ class SearchEngine:
         if self.use_actors:
             return self._ray.get(getattr(shard, method).remote(*args))
         return getattr(shard, method)(*args)
+
+    # -- string keys (reference generic T, src/index.rs:35) ----------------
+
+    def keys_for(self, results) -> list[tuple[str, float]]:
+        """Map [(doc_id, score)] back to [(key, score)] for a
+        string-keyed index (keymap sidecar, pushdown read of just the
+        result ids)."""
+        from probly_search_ray.state.keymap import urls_for
+        man = Manifest(self.index_dir)
+        key_col = man.data["config"].get("orig_key_col", "url")
+        m = urls_for(self.index_dir, [d for d, _ in results], key_col)
+        return [(m.get(int(d), str(d)), s) for d, s in results]
 
     # -- query -------------------------------------------------------------
 

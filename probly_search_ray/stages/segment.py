@@ -62,10 +62,19 @@ def _grouped_arange(lengths: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
 
-def docmeta_ipc(doc_ids: np.ndarray, lens: list[np.ndarray]) -> bytes:
+def docmeta_ipc(doc_ids: np.ndarray, lens: list[np.ndarray],
+                tots: list[np.ndarray] | None = None) -> bytes:
+    """Per-doc metadata: ``len_f`` is the reference's stored
+    ``field_length`` (LAST value's kept-token count for multi-value
+    fields, src/index.rs:114 — used for BM25 normalization and the
+    remove-path stat subtraction); ``tot_f`` is the total kept-token
+    count over all values (what ``fields[i].sum`` accumulates,
+    src/index.rs:112).  They coincide for single-value fields."""
     cols = {"doc_id": pa.array(doc_ids.astype(np.uint64), type=pa.uint64())}
     for f, ln in enumerate(lens):
         cols[f"len_{f}"] = pa.array(ln.astype(np.uint32), type=pa.uint32())
+    for f, t in enumerate(tots if tots is not None else lens):
+        cols[f"tot_{f}"] = pa.array(t.astype(np.uint32), type=pa.uint32())
     table = pa.table(cols)
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, table.schema) as w:
@@ -98,33 +107,70 @@ class SegmentEncoder:
             return SEGMENT_SCHEMA.empty_table()
 
         # --- tokenize each field, flatten, drop empty tokens -------------
+        # Fields may be string columns (single-value accessor) or
+        # list<string> columns (multi-value FieldAccessor,
+        # src/lib.rs:11): each value is tokenized separately; tf and the
+        # corpus sum accumulate over all values, but the stored per-doc
+        # field_length is the LAST value's kept-token count
+        # (src/index.rs:114 assigns, not adds).
         tok_values = []          # per field: Arrow string array of kept tokens
         tok_doc_idx = []         # per field: int64 batch-row index per kept token
-        lens = []                # per field: uint32[B] token count per doc
+        lens = []                # per field: uint32[B] stored field_length
+        tots = []                # per field: uint32[B] total kept tokens
         for col_name in self.field_cols:
             col = batch[col_name]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            # treat nulls as empty text
-            if col.null_count:
-                col = col.fill_null("")
-            lst = self.tok.arrow_fn(col)
-            offsets = lst.offsets.to_numpy()
-            values = lst.values
-            counts = np.diff(offsets)
-            didx = np.repeat(np.arange(B, dtype=np.int64), counts)
-            keep = pa.compute.not_equal(values, "").to_numpy(zero_copy_only=False)
-            values = values.filter(pa.array(keep))
-            didx = didx[keep]
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                vlen = pa.compute.list_value_length(col) \
+                    .fill_null(0).to_numpy().astype(np.int64)
+                val_col = col.flatten()  # null lists contribute 0 values
+                val_doc = np.repeat(np.arange(B, dtype=np.int64), vlen)
+                nvals = len(val_col)
+                if val_col.null_count:
+                    val_col = val_col.fill_null("")
+                lst = self.tok.arrow_fn(val_col.cast(pa.string()))
+                tcounts = np.diff(lst.offsets.to_numpy())
+                tok_val = np.repeat(np.arange(nvals, dtype=np.int64), tcounts)
+                values = lst.values
+                keep = pa.compute.not_equal(values, "") \
+                    .to_numpy(zero_copy_only=False)
+                values = values.filter(pa.array(keep))
+                tok_val = tok_val[keep]
+                didx = val_doc[tok_val]
+                kept_per_val = np.bincount(tok_val, minlength=nvals)
+                # last value per doc (docs with no values keep length 0)
+                val_ends = np.cumsum(vlen)
+                ln = np.zeros(B, dtype=np.uint32)
+                has = vlen > 0
+                ln[has] = kept_per_val[val_ends[has] - 1]
+                lens.append(ln)
+                tots.append(np.bincount(didx, minlength=B)
+                            .astype(np.uint32))
+            else:
+                # treat nulls as empty text
+                if col.null_count:
+                    col = col.fill_null("")
+                lst = self.tok.arrow_fn(col)
+                offsets = lst.offsets.to_numpy()
+                values = lst.values
+                counts = np.diff(offsets)
+                didx = np.repeat(np.arange(B, dtype=np.int64), counts)
+                keep = pa.compute.not_equal(values, "") \
+                    .to_numpy(zero_copy_only=False)
+                values = values.filter(pa.array(keep))
+                didx = didx[keep]
+                kept = np.bincount(didx, minlength=B).astype(np.uint32)
+                lens.append(kept)
+                tots.append(kept)
             tok_values.append(values)
             tok_doc_idx.append(didx)
-            lens.append(np.bincount(didx, minlength=B).astype(np.uint32))
 
         all_values = pa.concat_arrays([v.cast(pa.string()) for v in tok_values])
         all_didx = np.concatenate(tok_doc_idx) if tok_doc_idx else np.empty(0, np.int64)
         total_tokens = len(all_didx)
 
-        meta_blob = docmeta_ipc(doc_ids, lens)
+        meta_blob = docmeta_ipc(doc_ids, lens, tots)
         meta_row = {
             "term": [""], "doc_lo": [int(doc_ids.min()) if B else 0],
             "doc_hi": [int(doc_ids.max()) if B else 0],

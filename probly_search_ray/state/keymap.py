@@ -1,0 +1,99 @@
+"""String (url) document keys over the uint64-keyed engine core.
+
+The reference index is generic over the key type (``T: Eq + Hash +
+Copy``, ``/root/reference/src/index.rs:35``); this engine's on-disk
+postings are uint64-keyed.  String keys are supported by a *keymap
+sidecar*: every string key is hashed to a deterministic uint64 doc_id
+(pandas' vectorized 64-bit siphash — stable across runs and
+processes), the (key, doc_id) mapping is written as partitioned
+parquet next to the index, and query results are joined back to keys
+with a predicate-pushdown read of just the result ids.
+
+Determinism note: the engine's insertion order is ascending doc_id, so
+a string-keyed corpus has a deterministic (hash-ordered) insertion
+order — reference-parity differentials model it by adding docs to the
+refmodel in ascending-hash order.
+
+Collisions: 64-bit hashes over n keys collide with probability
+~n²/2^65 (≈3% at 10^12 docs); ``check_collisions`` finds any
+doc_id claimed by two different keys via a C-level groupby so callers
+can reject/salt the offending keys.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+
+def hash_keys(keys) -> np.ndarray:
+    """Deterministic uint64 ids for an array of string keys."""
+    arr = np.asarray(keys, dtype=object)
+    return pd.util.hash_array(arr)
+
+
+def keymap_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "keymap")
+
+
+def add_doc_ids(batch: pa.Table, key_col: str) -> pa.Table:
+    """map_batches stage: attach a ``doc_id`` column hashed from the
+    string key column (vectorized)."""
+    keys = batch[key_col].to_numpy(zero_copy_only=False)
+    ids = hash_keys(keys)
+    return batch.append_column("doc_id", pa.array(ids, type=pa.uint64()))
+
+
+def write_keymap(ds, key_col: str, index_dir: str,
+                 group: str | None = None) -> int:
+    """Write the (key, doc_id) sidecar as partitioned parquet (one dir
+    per build group — same resumability unit as the index); returns the
+    row count.  Streaming — no driver materialization."""
+    out = keymap_dir(index_dir)
+    if group is not None:
+        out = os.path.join(out, f"group={group}")
+    mapped = ds.map_batches(
+        lambda b: pa.table({key_col: b[key_col],
+                            "doc_id": add_doc_ids(b, key_col)["doc_id"]}),
+        batch_format="pyarrow")
+    mapped.write_parquet(out)
+    return pads.dataset(sorted(glob.glob(
+        os.path.join(out, "*.parquet")))).count_rows()
+
+
+def _files(index_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(keymap_dir(index_dir),
+                                         "**", "*.parquet"), recursive=True))
+
+
+def check_collisions(index_dir: str, key_col: str) -> pd.DataFrame:
+    """doc_ids claimed by >1 distinct key (expected empty).  One
+    C-level groupby over the sidecar."""
+    t = pads.dataset(_files(index_dir)).to_table().to_pandas()
+    g = t.groupby("doc_id")[key_col].nunique()
+    bad = g[g > 1]
+    return t[t["doc_id"].isin(bad.index)]
+
+
+def urls_for(index_dir: str, doc_ids, key_col: str = "url") -> dict[int, str]:
+    """doc_id → key for a small result set (pushdown read of the
+    sidecar — only matching row groups are touched)."""
+    files = _files(index_dir)
+    if not files or not len(doc_ids):
+        return {}
+    ids_arr = pa.array([int(d) for d in doc_ids], type=pa.uint64())
+    t = pads.dataset(files).to_table(
+        filter=pads.field("doc_id").isin(ids_arr))
+    return {int(d): str(k) for d, k in
+            zip(t["doc_id"].to_numpy(), t[key_col].to_pylist())}
+
+
+def ids_for(index_dir: str, keys, key_col: str = "url") -> dict[str, int]:
+    """key → doc_id (pure recomputation — hashing is deterministic)."""
+    ids = hash_keys(list(keys))
+    return {str(k): int(i) for k, i in zip(keys, ids)}

@@ -175,6 +175,72 @@ def test_scale_invariance(tmp_path):
         assert_results(bz, az, f"scalez:{q!r}")
 
 
+def write_multivalue_corpus(tmpdir, corpus):
+    """corpus: {doc_id: per-field value, each a str or list[str]}."""
+    os.makedirs(tmpdir, exist_ok=True)
+    items = sorted(corpus.items())
+    nfields = len(items[0][1])
+    cols = {"doc_id": pa.array([k for k, _ in items], type=pa.uint64())}
+    for f in range(nfields):
+        vals = [v[f] if isinstance(v[f], list) else [v[f]] for _, v in items]
+        cols[f"f{f}"] = pa.array(vals, type=pa.list_(pa.string()))
+    path = os.path.join(tmpdir, "corpus.parquet")
+    pq.write_table(pa.table(cols), path)
+    return path
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multivalue_fields(tmp_path):
+    """Multi-value FieldAccessor semantics (reference src/lib.rs:11,
+    src/index.rs:90-116): tf and corpus sums accumulate over all of a
+    field's values, but the stored per-doc field_length is the LAST
+    value's kept-token count.  Engine (list<string> columns) must match
+    the refmodel differentially, including stats and removals."""
+    rng = np.random.default_rng(31)
+    vocab = np.array(["a", "ab", "b", "ba", "c", "ca", "x", "xy"])
+    corpus = {}
+    for d in range(30):
+        nvals = int(rng.integers(0, 4))
+        vals = []
+        for _ in range(nvals):
+            k = int(rng.integers(0, 6))
+            vals.append(" ".join(rng.choice(vocab, size=k)) if k else "")
+        single = " ".join(rng.choice(vocab, size=int(rng.integers(0, 6))))
+        corpus[d] = (vals, single)  # field 0 multi-value, field 1 single
+    path = write_multivalue_corpus(str(tmp_path), {
+        d: (v[0], [v[1]]) for d, v in corpus.items()})
+    idx_dir = os.path.join(str(tmp_path), "index")
+    build_index(path, idx_dir, key_col="doc_id", field_cols=["f0", "f1"],
+                batch_size=7, block_postings=5, overwrite=True)
+    eng = SearchEngine(idx_dir)
+    ref = RefIndex(2)
+    for d in sorted(corpus):
+        ref.add_document([corpus[d][0], corpus[d][1]], tok, d)
+    # stats: sum accumulates all values
+    assert eng.stats.num_docs == len(ref.docs)
+    for f in range(2):
+        assert eng.stats.field_sum(f) == ref.fields[f].sum, f
+        assert abs(eng.stats.field_avg(f) - ref.fields[f].avg) < TOL
+    for q in ["a", "ab", "b", "x", "a b", "c x", "ba xy a"]:
+        assert_results(eng.query(q, "bm25"),
+                       ref.query(q, BM25(), tok, [1.0, 1.0]), f"mv:{q!r}")
+        assert_results(eng.query(q, "zero_to_one"),
+                       ref.query(q, ZeroToOne(), tok, [1.0, 1.0]),
+                       f"mvz:{q!r}")
+    # removal subtracts the stored (last-value) field_length
+    from probly_search_ray.maintain import remove_document
+    victim = max(d for d in corpus if corpus[d][0])
+    remove_document(idx_dir, victim)
+    ref.remove_document(victim)
+    eng2 = SearchEngine(idx_dir)
+    for f in range(2):
+        assert eng2.stats.field_sum(f) == ref.fields[f].sum, f
+        assert abs(eng2.stats.field_avg(f) - ref.fields[f].avg) < TOL
+    for q in ["a", "a b"]:
+        assert_results(eng2.query(q, "bm25"),
+                       ref.query(q, BM25(), tok, [1.0, 1.0]), f"mvrm:{q!r}")
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_actor_pool_query(tmp_path):
     corpus = DOCS2

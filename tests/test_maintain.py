@@ -93,6 +93,45 @@ def test_remove_documents_batch(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_refresh_interleaved_add_query(tmp_path):
+    """Engine analogue of the reference's concurrent add+query
+    (``tests/integrations_tests.rs:151-168``): one live engine serves a
+    consistent snapshot; refresh() picks up appended groups, removals,
+    and vacuum swaps — results track the refmodel after every step."""
+    from probly_search_ray.maintain import vacuum
+    ref = RefIndex(1)
+    idx = str(tmp_path / "index")
+    files = []
+    eng = None
+    for step in range(3):
+        f = str(tmp_path / f"p{step}.parquet")
+        rows = [(step * 10 + i, f"w{step} common x{i}") for i in range(4)]
+        _write_file(f, rows)
+        files.append(f)
+        build_index(files, idx, field_cols=["f0"], files_per_group=1,
+                    resume=True)
+        for did, txt in rows:
+            ref.add_document([txt], tok, did)
+        if eng is None:
+            eng = SearchEngine(idx)
+        else:
+            assert eng.refresh() is True  # new group appeared
+        assert_results(eng.query("common", "bm25"),
+                       ref.query("common", BM25(), tok, [1.0]),
+                       f"refresh:add{step}")
+    remove_document(idx, 0)
+    ref.remove_document(0)
+    assert eng.refresh() is False  # tombstone only — no shard reload
+    assert_results(eng.query("common", "bm25"),
+                   ref.query("common", BM25(), tok, [1.0]), "refresh:rm")
+    vacuum(idx)
+    ref.vacuum()
+    assert eng.refresh() is True  # vacuum swapped group dirs
+    assert_results(eng.query("common", "bm25"),
+                   ref.query("common", BM25(), tok, [1.0]), "refresh:vac")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_vacuum_swaps_atomically_and_gc(tmp_path):
     """Vacuum writes the compacted group under a new versioned dir and
     commits the manifest before deleting the old one: at every step the
