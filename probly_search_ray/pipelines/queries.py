@@ -263,6 +263,19 @@ def embedding_near_dups_bucketed(sf_dir: str):
                                    n_clusters=8, n_probe=4)
 
 
+def media_features(sf_dir: str):
+    """Multimodal pipeline over driver data: documents' text bytes are
+    rendered into real P6 PPM payloads, then decoded + resized +
+    histogram-featurized by the actor-pool media stage (rows-only:
+    pixel features aren't SQL-expressible)."""
+    from probly_search_ray.stages.multimodal import (
+        media_feature_pipeline, media_from_documents)
+    media = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        media_from_documents, batch_format="pyarrow")
+    out = media_feature_pipeline(media, concurrency=2, batch_size=64)
+    return out.select_columns(["media_id", "kind", "feat_norm"])
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream table."""
     from ray.data.aggregate import Count, Sum
@@ -333,6 +346,7 @@ QUERIES = {
     "embedding_topk_ivf": embedding_topk_ivf,
     "embedding_near_dups": embedding_near_dups,
     "embedding_near_dups_bucketed": embedding_near_dups_bucketed,
+    "media_features": media_features,
     "events_hourly": events_hourly,
 }
 

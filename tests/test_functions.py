@@ -100,22 +100,45 @@ def test_simhash_close_for_similar_docs():
     assert ham(ha, hb) < ham(ha, hc)
 
 
+def test_media_codecs_roundtrip():
+    """The PPM / PCM1 codecs are real: encode→decode is lossless, and
+    resize / frame-sample behave as specified."""
+    import numpy as np
+    from probly_search_ray.stages.multimodal import (
+        decode_audio, decode_image, encode_pcm16, encode_ppm, frame_rms,
+        resize_nearest)
+    rng = np.random.default_rng(8)
+    rgb = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(rgb)) == rgb).all()
+    small = resize_nearest(rgb, 10, 10)
+    assert small.shape == (10, 10, 3)
+    assert (small == rgb[::2][:, (np.arange(10) * 3)]).all()
+    samples = rng.integers(-3000, 3000, 2048).astype(np.int16)
+    dec, rate = decode_audio(encode_pcm16(samples, 16000))
+    assert rate == 16000 and (dec == samples).all()
+    rms = frame_rms(samples, frame=512, hop=256)
+    assert len(rms) == 1 + (2048 - 512) // 256
+    assert (rms >= 0).all() and (rms <= 1).all()
+    # compressed formats hit the explicit no-decoder boundary
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"fLaC fake")
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_multimodal_pipeline():
     import ray.data as rd
     from probly_search_ray.stages.multimodal import (
-        MediaFeatures, media_feature_pipeline, synth_media_table)
+        media_feature_pipeline, synth_media_table)
     tbl = synth_media_table(64)
     out = media_feature_pipeline(rd.from_arrow(tbl), concurrency=2,
                                  batch_size=16).to_pandas()
     assert len(out) == 64
     assert set(out.columns) == {"media_id", "kind", "feature", "feat_norm"}
-    assert all(len(f) == 16 for f in out["feature"])
+    assert all(len(f) == 13 for f in out["feature"])
     # deterministic across runs
     out2 = media_feature_pipeline(rd.from_arrow(tbl), concurrency=2,
                                   batch_size=16).to_pandas()
     assert (out.sort_values("media_id")["feat_norm"].to_numpy()
             == out2.sort_values("media_id")["feat_norm"].to_numpy()).all()
-    # the real-decode boundary is explicit
-    with pytest.raises(NotImplementedError):
-        MediaFeatures(real_decode=True)
