@@ -6,15 +6,18 @@ Default mode: ONE JSON line with the headline metric —
             parallelism level
   plus    build docs/s + MB/s, BM25 top-10 query latency p50/p95 (ms)
           over a hot/cold/prefix query mix served by the shard-actor
-          pool, and per-pipeline timings of every queries() entry over
-          $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+          pool, per-pipeline timings of every queries() entry over
+          $GRAFT_SF_DIR (default /root/testdata/sf0.1), and the
+          two-parallelism scaling measurement (the sandbox proxy for
+          N → 4N nodes: same corpus, fresh processes at num_cpus=8 and
+          32, throughput ratio / 4 = efficiency, pass bar ≥ 0.8).
 
---scaling: runs the build at num_cpus=8 and num_cpus=32 in fresh
-processes on the same corpus (the sandbox proxy for N → 4N nodes) and
-reports both throughputs + scaling efficiency.
+--scaling: runs ONLY the scaling measurement.
 
 Env knobs: RAY_GRAFT_CPUS, GRAFT_SF_DIR, GRAFT_BENCH_DOCS,
-GRAFT_BENCH_MODE=build (skip query/pipeline phases — used by --scaling).
+GRAFT_SCALING_DOCS, GRAFT_BENCH_SCALING=0 (skip the scaling phase),
+GRAFT_BENCH_MODE=build (skip query/pipeline/scaling phases — used by
+the scaling subprocesses themselves).
 """
 
 from __future__ import annotations
@@ -27,45 +30,57 @@ import sys
 import time
 
 BENCH_DIR = "/tmp/psr_bench"
-PAGES_DIR = os.path.join(BENCH_DIR, "pages")
 NUM_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "600000"))
 NUM_FILES = 32
 
 
-def _gen_corpus():
+def _pages_dir(num_docs: int) -> str:
+    # per-size dir so the 600k headline corpus and the 2.4M scaling
+    # corpus cache independently instead of regenerating each other
+    return os.path.join(BENCH_DIR, f"pages_{num_docs}")
+
+
+def _quiet_workers():
+    import logging
+    for name in ("ray.data", "ray"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
+def _gen_corpus(num_docs: int) -> str:
     from probly_search_ray.sources.synth import generate_pages
-    files = generate_pages(PAGES_DIR, num_docs=NUM_DOCS, num_files=NUM_FILES,
+    pages = _pages_dir(num_docs)
+    files = generate_pages(pages, num_docs=num_docs, num_files=NUM_FILES,
                            seed=42, vocab_size=50000, mean_len=60)
-    # warm the page cache so both scaling runs measure compute, not disk
+    # warm the page cache so all runs measure compute, not disk
     for f in files:
         with open(f, "rb") as fh:
             while fh.read(1 << 22):
                 pass
-    return files
+    return pages
 
 
-def _text_bytes() -> int:
+def _text_bytes(pages_dir: str) -> int:
     import duckdb
     return duckdb.sql(
-        f"SELECT sum(strlen(text)) FROM read_parquet('{PAGES_DIR}/*.parquet')"
+        f"SELECT sum(strlen(text)) FROM read_parquet('{pages_dir}/*.parquet')"
     ).fetchone()[0]
 
 
-def bench_build(num_cpus: int) -> dict:
+def bench_build(pages_dir: str, num_cpus: int, timed_runs: int = 2) -> dict:
     from probly_search_ray.pipelines.pages import build_pages_index
     idx_dir = os.path.join(BENCH_DIR, f"index_cpus{num_cpus}")
     # untimed warmup run: faults worker memory in, warms the VM's
     # lazily-allocated pages, so timed runs measure compute+shuffle;
-    # take the min of 2 timed runs (this VM's noise is large)
-    build_pages_index(PAGES_DIR, idx_dir, overwrite=True,
+    # take the min of the timed runs (this VM's noise is large)
+    build_pages_index(pages_dir, idx_dir, overwrite=True,
                       files_per_group=NUM_FILES, batch_size=8192)
     wall = float("inf")
-    for _ in range(2):
+    for _ in range(timed_runs):
         t0 = time.perf_counter()
-        build_pages_index(PAGES_DIR, idx_dir, overwrite=True,
+        build_pages_index(pages_dir, idx_dir, overwrite=True,
                           files_per_group=NUM_FILES, batch_size=8192)
         wall = min(wall, time.perf_counter() - t0)
-    tb = _text_bytes()
+    tb = _text_bytes(pages_dir)
     return {"build_sec": round(wall, 3),
             "docs_per_sec": round(NUM_DOCS / wall, 1),
             "text_mb_per_sec": round(tb / 1e6 / wall, 2),
@@ -117,6 +132,36 @@ def bench_pipelines(sf_dir: str) -> dict:
     return out
 
 
+def scaling_measurement() -> dict:
+    """Same build at num_cpus=8 and 32 in FRESH processes on the same
+    corpus (the sandbox proxy for N → 4N nodes).  Uses a larger,
+    compute-dominated corpus so the measurement reflects scalable work,
+    not fixed per-job overhead (sort barrier, session setup)."""
+    docs = os.environ.get("GRAFT_SCALING_DOCS", "2400000")
+    env_base = dict(os.environ, GRAFT_BENCH_MODE="build",
+                    GRAFT_BENCH_DOCS=docs)
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           check=True)
+        out[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
+    t8 = out[8]["value"]
+    t32 = out[32]["value"]
+    eff = (t8 / t32) / 4.0
+    return {
+        "metric": "scaling efficiency, same build at num_cpus=8 vs 32 "
+                  "(sandbox proxy for N -> 4N nodes)",
+        "docs": int(docs),
+        "sec_8": t8, "sec_32": t32,
+        "docs_per_sec_8": out[8]["build"]["docs_per_sec"],
+        "docs_per_sec_32": out[32]["build"]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "pass_ge_0.8": eff >= 0.8,
+    }
+
+
 def main():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,15 +169,18 @@ def main():
 
     import ray
     import logging
+    _quiet_workers()
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"worker_process_setup_hook": _quiet_workers})
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    _gen_corpus()
-    build = bench_build(num_cpus)
+    pages = _gen_corpus(NUM_DOCS)
+    build = bench_build(pages, num_cpus,
+                        timed_runs=1 if mode == "build" else 2)
     result = {
         "metric": "pages index build wall time (flagship pipeline), "
                   f"{NUM_DOCS} synthetic CC-style docs",
@@ -146,40 +194,14 @@ def main():
         result["query_latency"] = bench_queries(build["index_dir"], num_cpus)
         result["queries"] = bench_pipelines(sf_dir)
     ray.shutdown()
+    if mode == "full" and os.environ.get("GRAFT_BENCH_SCALING", "1") != "0":
+        result["scaling"] = scaling_measurement()
     print(json.dumps(result))
     return result
 
 
-def scaling():
-    # a compute-dominated corpus so the measurement reflects scalable
-    # work, not fixed per-job overhead (sort barrier, session setup)
-    docs = os.environ.get("GRAFT_SCALING_DOCS", "2400000")
-    env_base = dict(os.environ, GRAFT_BENCH_MODE="build",
-                    GRAFT_BENCH_DOCS=docs)
-    out = {}
-    for ncpu in (8, 32):
-        env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
-        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, capture_output=True, text=True, check=True)
-        out[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
-    t8 = out[8]["value"]
-    t32 = out[32]["value"]
-    eff = (t8 / t32) / 4.0
-    res = {
-        "metric": "scaling efficiency, same build at num_cpus=8 vs 32 "
-                  "(sandbox proxy for N → 4N nodes)",
-        "sec_8": t8, "sec_32": t32,
-        "docs_per_sec_8": out[8]["build"]["docs_per_sec"],
-        "docs_per_sec_32": out[32]["build"]["docs_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "pass_ge_0.8": eff >= 0.8,
-    }
-    print(json.dumps(res))
-    return res
-
-
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling()
+        print(json.dumps(scaling_measurement()))
     else:
         main()

@@ -297,11 +297,12 @@ def events_hourly(sf_dir: str):
 
 
 def sessions(sf_dir: str):
-    """Gap-based sessionization (30 min) of the events log."""
-    from probly_search_ray.stages.sessions import sessionize
+    """Gap-based sessionization (30 min) of the events log — the
+    sort + vectorized-segments path (no per-user Python)."""
+    from probly_search_ray.stages.sessions import sessionize_sorted
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "ts", "value"])
-    return sessionize(ds, gap_minutes=30)
+    return sessionize_sorted(ds, gap_minutes=30)
 
 
 def dup_clusters(sf_dir: str):

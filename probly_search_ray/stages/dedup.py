@@ -66,9 +66,12 @@ class MinHashStage:
         bh = bh[nz]
         doc_ids = doc_ids[nz]
         n = int(nz.sum())
+        # int64 bit-pattern view: uint64 values above 2^63 make Ray's
+        # shuffle-boundary conversion fall back noisily per block
         return pa.table({
             "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1), type=pa.uint64()),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64),
+                                  type=pa.int64()),
             "doc_id": pa.array(np.repeat(doc_ids, self.bands)),
         })
 
@@ -124,7 +127,11 @@ def lsh_candidate_pairs(docs_ds, k: int = 128, bands: int = 16, w: int = 3,
         idx = np.searchsorted(ks, key)
         idx = np.minimum(idx, len(ks) - 1)
         mask = ks[idx] == key
-        return pa.table({"bucket": pa.array(key[mask], type=pa.uint64()),
+        # int64 view: uint64 keys above 2^63 trip the pandas→arrow
+        # conversion inside map_groups (noisy fallback); the bit
+        # pattern is all that matters for grouping
+        return pa.table({"bucket": pa.array(key[mask].view(np.int64),
+                                            type=pa.int64()),
                          "doc_id": t["doc_id"].filter(pa.array(mask))})
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
