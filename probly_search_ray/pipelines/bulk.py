@@ -15,6 +15,8 @@ import pandas as pd
 
 from probly_search_ray.functions.mem import tune_allocator
 
+_POOLS: dict = {}  # index_dir → SearchEngine owning a shared shard pool
+
 
 class BulkSearcher:
     def __init__(self, index_dir: str, scorer: str = "bm25",
@@ -44,13 +46,55 @@ class BulkSearcher:
         })
 
 
+class ShardedBulkSearcher:
+    """Coordinator actor for the SCALE deployment shape: the index
+    lives ONCE in a term-range-sharded ``ShardData`` actor pool, and N
+    lightweight coordinators (this class) fan queries out to the shared
+    pool — instead of every bulk actor loading the whole index.  Actor
+    handles serialize, so they pass straight through
+    ``fn_constructor_args``."""
+
+    def __init__(self, index_dir: str, shard_handles, scorer: str,
+                 k: int | None, expand: bool):
+        tune_allocator()
+        from probly_search_ray.search import SearchEngine
+        self.eng = SearchEngine(index_dir, shard_handles=shard_handles)
+        self.scorer = scorer
+        self.k = k
+        self.expand = expand
+
+    __call__ = BulkSearcher.__call__
+
+
 def bulk_search(queries_ds, index_dir: str, scorer: str = "bm25",
                 k: int | None = 10, concurrency: int = 4,
-                batch_size: int = 64, expand: bool = True):
+                batch_size: int = 64, expand: bool = True,
+                num_shards: int | None = None):
     """queries_ds: Dataset with (query_id:int64, query:string) →
-    Dataset of (query_id, rank, doc_id, score)."""
+    Dataset of (query_id, rank, doc_id, score).
+
+    ``num_shards=None``: every bulk actor holds the full index (fine
+    when the index fits one worker).  ``num_shards=S``: ONE shared
+    S-shard actor pool holds the index; the map_batches actors are
+    thin coordinators over it (the multi-node shape — index memory is
+    paid once, not once per bulk actor)."""
+    if num_shards is None:
+        return queries_ds.map_batches(
+            BulkSearcher,
+            fn_constructor_args=(index_dir, scorer, k, expand),
+            batch_format="pandas", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1)
+    from probly_search_ray.search import SearchEngine
+    # keep the shard pool alive past this frame: actor handles are
+    # ref-counted, and the returned Dataset is lazy
+    pool_owner = _POOLS.get((index_dir, num_shards))
+    if pool_owner is None:
+        pool_owner = SearchEngine(index_dir, num_shards=num_shards,
+                                  use_actors=True)
+        _POOLS[(index_dir, num_shards)] = pool_owner
     return queries_ds.map_batches(
-        BulkSearcher,
-        fn_constructor_args=(index_dir, scorer, k, expand),
+        ShardedBulkSearcher,
+        fn_constructor_args=(index_dir, pool_owner.shards, scorer, k,
+                             expand),
         batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=concurrency, num_cpus=0.5)

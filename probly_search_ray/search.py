@@ -417,10 +417,14 @@ class SearchEngine:
     ``Index::query``, ``/root/reference/src/query.rs:21-106``)."""
 
     def __init__(self, index_dir: str, num_shards: int = 1,
-                 use_actors: bool = False):
+                 use_actors: bool = False, shard_handles=None):
+        """``shard_handles``: pre-created ``ShardData`` actor handles to
+        SHARE across engines (e.g. many bulk-search coordinators over
+        one resident shard pool) instead of loading the index again."""
         self.index_dir = index_dir
         self.num_shards = num_shards
-        self.use_actors = use_actors
+        self.use_actors = use_actors or shard_handles is not None
+        self._shared_handles = shard_handles
         self._load()
 
     def _load(self):
@@ -435,6 +439,11 @@ class SearchEngine:
         self.stats = Stats(self.index_dir)
         self._reload_tombstones()
         self._manifest_sig = self._sig(man)
+        if self._shared_handles is not None:
+            import ray
+            self.shards = list(self._shared_handles)
+            self._ray = ray
+            return
         bounds = self._shard_bounds(man, self.num_shards)
         if self.use_actors:
             import ray

@@ -167,3 +167,27 @@ def test_vacuum_swaps_atomically_and_gc(tmp_path):
     for q in ["alpha", "w1", "beta w7"]:
         assert_results(eng.query(q, "bm25"), ref.query(q, BM25(), tok, [1.0]),
                        f"post-vacuum:{q!r}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bulk_search_sharded_pool(tmp_path):
+    """Sharded bulk mode (one resident shard pool + thin coordinator
+    actors) returns exactly what the load-everything mode returns."""
+    import pandas as pd
+    import numpy as np
+    import ray.data as rd
+    from probly_search_ray.pipelines.bulk import bulk_search
+    f1 = str(tmp_path / "p.parquet")
+    rng = np.random.default_rng(13)
+    vocab = np.array(["alpha", "alp", "beta", "bet", "gamma", "g"])
+    _write_file(f1, [(i, " ".join(rng.choice(vocab, 8))) for i in range(80)])
+    idx = str(tmp_path / "index")
+    build_index([f1], idx, field_cols=["f0"])
+    qds = rd.from_pandas(pd.DataFrame({
+        "query_id": np.arange(4, dtype=np.int64),
+        "query": ["alp", "beta g", "gamma", "al"]}))
+    a = bulk_search(qds, idx, k=5, concurrency=2).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = bulk_search(qds, idx, k=5, concurrency=2, num_shards=3).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
