@@ -15,7 +15,21 @@ import pandas as pd
 
 from probly_search_ray.functions.mem import tune_allocator
 
-_POOLS: dict = {}  # index_dir → SearchEngine owning a shared shard pool
+_POOLS: dict = {}  # (index_dir, shards) → SearchEngine owning a shard pool
+
+
+def release_shard_pools(index_dir: str | None = None) -> None:
+    """Drop (and terminate) cached shared shard-actor pools — they hold
+    CPU reservations for as long as they're cached, so release them
+    when bulk serving for an index is done."""
+    import ray
+    for key in [k for k in _POOLS if index_dir is None or k[0] == index_dir]:
+        eng = _POOLS.pop(key)
+        for a in getattr(eng, "shards", []):
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
 
 
 class BulkSearcher:

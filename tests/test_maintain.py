@@ -188,6 +188,11 @@ def test_bulk_search_sharded_pool(tmp_path):
         "query": ["alp", "beta g", "gamma", "al"]}))
     a = bulk_search(qds, idx, k=5, concurrency=2).to_pandas() \
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
-    b = bulk_search(qds, idx, k=5, concurrency=2, num_shards=3).to_pandas() \
-        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    try:
+        b = bulk_search(qds, idx, k=5, concurrency=2, num_shards=3) \
+            .to_pandas().sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+    finally:
+        from probly_search_ray.pipelines.bulk import release_shard_pools
+        release_shard_pools()  # free the pool's CPU reservations
     pd.testing.assert_frame_equal(a, b)
