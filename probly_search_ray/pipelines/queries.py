@@ -263,6 +263,138 @@ def embedding_near_dups_bucketed(sf_dir: str):
                                    n_clusters=8, n_probe=4)
 
 
+def top_bigrams(sf_dir: str):
+    """Collocation mining: top-20 adjacent-token bigrams corpus-wide.
+    Partial counts per batch (vectorized pair construction), one small
+    groupby-sum shuffle, driver takes 20."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks, _, didx = textstats._tokenize_flat(b)
+        if len(toks) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        m = didx[1:] == didx[:-1]
+        big = (toks[:-1][m] + " ") + toks[1:][m]
+        u, c = np.unique(big, return_counts=True)
+        return pa.table({"bigram": pa.array(u.astype(object),
+                                            type=pa.string()),
+                         "n_part": pa.array(c.astype(np.int64))})
+
+    agg = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n_part", alias_name="n"))
+    df = agg.to_pandas().sort_values(["n", "bigram"],
+                                     ascending=[False, True]).head(20)
+    return df.reset_index(drop=True)
+
+
+def events_sliding(sf_dir: str):
+    """Hopping-window aggregate (1 h window, 30 min hop): each event
+    lands in exactly two windows; window fan-out is a vectorized map,
+    then one C-level groupby-agg — the streaming-window pattern
+    without an event-time engine."""
+    from ray.data.aggregate import Count, Sum
+    HOP_US = 1800 * 1_000_000
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = (ts // HOP_US) * HOP_US
+        starts = np.concatenate((base, base - HOP_US))
+        idx = np.concatenate((np.arange(len(ts)), np.arange(len(ts))))
+        et = b["event_type"].take(pa.array(idx))
+        val = b["value"].take(pa.array(idx))
+        return pa.table({
+            "event_type": et,
+            "window_start": pa.array(starts.astype("datetime64[us]")),
+            "value": val,
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"])
+    agg = ds.map_batches(fan_out, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]) \
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    pdf = agg.to_pandas()
+    pdf["sum_value"] = pdf["sum_value"].round(6)
+    return pdf
+
+
+def tfidf_top3(sf_dir: str):
+    """Per-doc top-3 terms by tf·idf (idf = ln(N / df_docs), distinct-doc
+    df).  The df table is computed distributed, broadcast once
+    (``ray.put``), and each batch scores + truncates vectorized — the
+    map-side-join shape for a small-side lookup."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def distinct_doc_term(b: pa.Table) -> pa.Table:
+        toks, _, didx = textstats._tokenize_flat(b)
+        if not len(toks):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        order = np.lexsort((toks, didx))
+        t_s, d_s = toks[order], didx[order]
+        first = np.concatenate(([True], (d_s[1:] != d_s[:-1])
+                                | (t_s[1:] != t_s[:-1])))
+        ids = b["doc_id"].to_numpy()
+        return pa.table({"term": pa.array(t_s[first].astype(object),
+                                          type=pa.string()),
+                         "doc_id": pa.array(ids[d_s[first]])})
+
+    df_tbl = docs.map_batches(distinct_doc_term, batch_format="pyarrow") \
+        .groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    n_docs = docs.count()
+    terms_sorted = np.sort(df_tbl["term"].to_numpy().astype(object))
+    order = np.argsort(df_tbl["term"].to_numpy().astype(object))
+    idf_sorted = np.log(n_docs / df_tbl["df"].to_numpy()
+                        .astype(np.float64))[order]
+    ref = _ray.put((terms_sorted, idf_sorted))
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        terms_s, idf_s = _ray.get(ref)
+        toks, _, didx = textstats._tokenize_flat(b)
+        if not len(toks):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64())})
+        order = np.lexsort((toks, didx))
+        t_s, d_s = toks[order], didx[order]
+        first = np.concatenate(([True], (d_s[1:] != d_s[:-1])
+                                | (t_s[1:] != t_s[:-1])))
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.concatenate((starts, [len(t_s)]))).astype(np.float64)
+        terms_u = t_s[starts]
+        docs_u = d_s[starts]
+        idf = idf_s[np.searchsorted(terms_s, terms_u)]
+        score = tf * idf
+        # top-3 per doc by (score desc, term asc)
+        o2 = np.lexsort((terms_u, -score, docs_u))
+        dd = docs_u[o2]
+        newd = np.concatenate(([True], dd[1:] != dd[:-1]))
+        rank = np.arange(len(dd)) - np.maximum.accumulate(
+            np.where(newd, np.arange(len(dd)), 0))
+        keep = rank < 3
+        ids = b["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids[dd[keep]]),
+            "term": pa.array(terms_u[o2][keep].astype(object),
+                             type=pa.string()),
+            "score": pa.array(np.round(score[o2][keep], 6)),
+        })
+
+    return docs.map_batches(score_batch, batch_format="pyarrow")
+
+
+def source_dist(sf_dir: str):
+    from ray.data.aggregate import Count
+    return _docs(sf_dir, ["doc_id", "source"]).groupby("source") \
+        .aggregate(Count(alias_name="n"))
+
+
 def media_features(sf_dir: str):
     """Multimodal pipeline over driver data: documents' text bytes are
     rendered into real P6 PPM payloads, then decoded + resized +
@@ -349,6 +481,10 @@ QUERIES = {
     "embedding_near_dups_bucketed": embedding_near_dups_bucketed,
     "media_features": media_features,
     "events_hourly": events_hourly,
+    "events_sliding": events_sliding,
+    "top_bigrams": top_bigrams,
+    "tfidf_top3": tfidf_top3,
+    "source_dist": source_dist,
 }
 
 
@@ -530,5 +666,48 @@ ORACLES = {
         SELECT event_type, date_trunc('hour', ts) AS window_start,
                count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "events_sliding": """
+        WITH w AS (
+          SELECT event_type, value,
+                 unnest([
+                   make_timestamp(((floor(epoch(ts)/1800)*1800)
+                                   * 1000000)::BIGINT),
+                   make_timestamp(((floor(epoch(ts)/1800)*1800 - 1800)
+                                   * 1000000)::BIGINT)
+                 ]) AS window_start
+          FROM events)
+        SELECT event_type, window_start, count(*)::BIGINT AS n,
+               round(sum(value), 6) AS sum_value
+        FROM w GROUP BY 1, 2
+    """,
+    "top_bigrams": f"""
+        WITH toks AS (SELECT {_TOK} AS ts FROM documents),
+        bg AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                             i -> ts[i] || ' ' || ts[i+1])) AS bigram
+               FROM toks WHERE len(ts) >= 2)
+        SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+    "tfidf_top3": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+        nn AS (SELECT count(*)::DOUBLE AS c FROM documents),
+        tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf
+               FROM tok GROUP BY 1, 2),
+        dfd AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS df
+                FROM tok GROUP BY t),
+        scored AS (
+          SELECT tf.doc_id, tf.t,
+                 tf.tf * ln((SELECT c FROM nn) / dfd.df) AS s,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln((SELECT c FROM nn) / dfd.df) DESC,
+                            tf.t ASC) AS r
+          FROM tf JOIN dfd ON tf.t = dfd.t)
+        SELECT doc_id, t AS term, round(s, 6) AS score
+        FROM scored WHERE r <= 3
+    """,
+    "source_dist": """
+        SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
     """,
 }
