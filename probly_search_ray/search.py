@@ -62,7 +62,7 @@ class ShardData:
     rounds, segmented cumsum for the doc-id deltas)."""
 
     def __init__(self, index_dir: str, term_lo: str | None = None,
-                 term_hi: str | None = None):
+                 term_hi: str | None = None, use_cache: bool = True):
         from probly_search_ray.functions.codec import FORMAT_VERSION
         from probly_search_ray.functions.mem import tune_allocator
         tune_allocator()  # shard actors are fresh processes; reuse arena
@@ -78,6 +78,17 @@ class ShardData:
                 f"index at {index_dir} has format_version={ver}, engine "
                 f"expects {FORMAT_VERSION}; rebuild with build_index(...)")
         self.num_fields = man.data["config"]["num_fields"]
+        # mmap'd decoded-CSR cache: the first load of a (range, manifest
+        # state) decodes the varint blobs and persists the flat arrays;
+        # later loads np.load(mmap_mode="r") them — engine startup is
+        # metadata-only and postings page in lazily per query (the
+        # north star's "actor pools holding mmap'd index shards")
+        self._cache_dir = None
+        if use_cache:
+            self._cache_dir = self._cache_path(index_dir, man,
+                                               term_lo, term_hi)
+            if self._cache_dir and self._load_from_cache(self._cache_dir):
+                return
         tables = []
         for rec in man.term_files():
             if term_hi is not None and rec["term_min"] is not None \
@@ -115,18 +126,95 @@ class ShardData:
         if not len(full):
             return
         self._load_csr(full, F)
+        if self._cache_dir:
+            self._write_cache(self._cache_dir)
 
-    def _load_csr(self, full: pa.Table, F: int) -> None:
-        nrows = len(full)
-        blob_col = full["blob"].combine_chunks()
-        # zero-copy view of the concatenated blob bytes + per-row offsets
-        off_buf = np.frombuffer(blob_col.buffers()[1], dtype=np.int64)
-        off_arr = off_buf[blob_col.offset: blob_col.offset + nrows + 1]
-        data = np.frombuffer(blob_col.buffers()[2], dtype=np.uint8)
-        stream = data[off_arr[0]:off_arr[-1]]
-        row_byte_start = (off_arr[:-1] - off_arr[0]).astype(np.int64)
+    # -- mmap'd decoded-CSR cache ------------------------------------------
 
-        # one vectorized varint scan over the whole shard
+    @staticmethod
+    def _cache_path(index_dir: str, man: Manifest, term_lo, term_hi):
+        import hashlib
+        import json as _json
+        from probly_search_ray.functions.codec import FORMAT_VERSION
+        sig_src = _json.dumps([
+            FORMAT_VERSION,
+            [(r["group"], r["path"], r["rows"]) for r in man.term_files()],
+        ], sort_keys=True)
+        sig = hashlib.md5(sig_src.encode()).hexdigest()[:12]
+        rng = hashlib.md5(repr((term_lo, term_hi)).encode()).hexdigest()[:8]
+        return os.path.join(index_dir, "cache", f"csr-{rng}-{sig}")
+
+    _CACHE_ARRAYS = ("df", "first_pos", "post_off", "p_docs")
+
+    def _write_cache(self, cdir: str) -> None:
+        import shutil
+        import tempfile
+        try:
+            parent = os.path.dirname(cdir)
+            os.makedirs(parent, exist_ok=True)
+            # GC caches for the same range but stale manifest states
+            prefix = os.path.basename(cdir).rsplit("-", 1)[0] + "-"
+            for d in os.listdir(parent):
+                if d.startswith(prefix) and \
+                        os.path.join(parent, d) != cdir:
+                    shutil.rmtree(os.path.join(parent, d),
+                                  ignore_errors=True)
+            tmp = tempfile.mkdtemp(dir=parent)
+            for name in self._CACHE_ARRAYS:
+                np.save(os.path.join(tmp, name + ".npy"),
+                        getattr(self, name))
+            for f in range(self.num_fields):
+                np.save(os.path.join(tmp, f"p_tf_{f}.npy"), self.p_tf[f])
+                np.save(os.path.join(tmp, f"p_len_{f}.npy"), self.p_len[f])
+            # length-prefixed utf8 (terms may contain any byte but NUL)
+            enc = [t.encode() for t in self.terms]
+            np.save(os.path.join(tmp, "term_lens.npy"),
+                    np.asarray([len(e) for e in enc], dtype=np.int64))
+            with open(os.path.join(tmp, "terms.bin"), "wb") as fh:
+                fh.write(b"".join(enc))
+            os.replace(tmp, cdir) if not os.path.exists(cdir) else \
+                shutil.rmtree(tmp)
+        except OSError:
+            pass  # cache is best-effort (read-only index dir etc.)
+
+    def _load_from_cache(self, cdir: str) -> bool:
+        if not os.path.isdir(cdir):
+            return False
+        try:
+            with open(os.path.join(cdir, "terms.bin"), "rb") as fh:
+                raw = fh.read()
+            lens = np.load(os.path.join(cdir, "term_lens.npy"))
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            self.terms = [raw[offs[i]:offs[i + 1]].decode()
+                          for i in range(len(lens))]
+            for name in self._CACHE_ARRAYS:
+                setattr(self, name, np.load(
+                    os.path.join(cdir, name + ".npy"), mmap_mode="r"))
+            self.p_tf = [np.load(os.path.join(cdir, f"p_tf_{f}.npy"),
+                                 mmap_mode="r")
+                         for f in range(self.num_fields)]
+            self.p_len = [np.load(os.path.join(cdir, f"p_len_{f}.npy"),
+                                  mmap_mode="r")
+                          for f in range(self.num_fields)]
+            # small metadata arrays are hot — materialize them
+            self.df = np.array(self.df)
+            self.first_pos = np.array(self.first_pos)
+            self.post_off = np.array(self.post_off)
+            return True
+        except (OSError, ValueError):
+            return False
+
+    # rows per decode chunk: bounds the varint-scan temporaries (which
+    # the tuned allocator then REUSES across chunks) — an unchunked scan
+    # allocates ~40 bytes of fresh pages per varint value, and
+    # first-touch page faults dominate this host
+    _DECODE_CHUNK_ROWS = 1_000_000
+
+    @staticmethod
+    def _decode_rows(stream: np.ndarray, row_byte_start: np.ndarray, F: int):
+        """Vectorized decode of a contiguous run of rows → (docs,
+        tfs[F], lens[F], postings-per-row)."""
+        nrows = len(row_byte_start)
         term_mask = (stream & 0x80) == 0
         v_ends = np.flatnonzero(term_mask)
         v_starts = np.empty_like(v_ends)
@@ -146,7 +234,8 @@ class ShardData:
         # (#rounds = max blocks per row, small by construction)
         v_row = np.searchsorted(v_starts, row_byte_start)
         v_row_end = np.concatenate((v_row[1:], [nvals]))
-        act_v, act_row, act_end = v_row, np.arange(nrows, dtype=np.int64), v_row_end
+        act_v, act_row, act_end = (v_row, np.arange(nrows, dtype=np.int64),
+                                   v_row_end)
         bv_parts, bn_parts, brow_parts = [], [], []
         while act_v.size:
             n = vals[act_v].astype(np.int64)
@@ -168,16 +257,45 @@ class ShardData:
         cs = np.cumsum(raw)
         seg_starts = np.cumsum(bn) - bn
         base = cs[seg_starts] - raw[seg_starts]
-        self.p_docs = (cs - np.repeat(base, bn)).astype(np.uint64)
+        docs = (cs - np.repeat(base, bn)).astype(np.uint64)
         # per-field tf / len stored uint32 (exact small ints — cast to
-        # float64 after the per-query gather): halves resident bytes,
-        # and first-touch page faults dominate load time on this host
+        # float64 after the per-query gather): halves resident bytes
         ia = _grouped_arange(bn)
         sec_base = bv + 1 + bn
-        self.p_tf = [vals[np.repeat(sec_base + f * bn, bn) + ia]
-                     .astype(np.uint32) for f in range(F)]
-        self.p_len = [vals[np.repeat(sec_base + (F + f) * bn, bn) + ia]
-                      .astype(np.uint32) for f in range(F)]
+        tfs = [vals[np.repeat(sec_base + f * bn, bn) + ia]
+               .astype(np.uint32) for f in range(F)]
+        lens = [vals[np.repeat(sec_base + (F + f) * bn, bn) + ia]
+                .astype(np.uint32) for f in range(F)]
+        row_counts = np.bincount(brow, weights=bn, minlength=nrows) \
+            .astype(np.int64)
+        return docs, tfs, lens, row_counts
+
+    def _load_csr(self, full: pa.Table, F: int) -> None:
+        nrows = len(full)
+        blob_col = full["blob"].combine_chunks()
+        # zero-copy view of the concatenated blob bytes + per-row offsets
+        off_buf = np.frombuffer(blob_col.buffers()[1], dtype=np.int64)
+        off_arr = off_buf[blob_col.offset: blob_col.offset + nrows + 1]
+        data = np.frombuffer(blob_col.buffers()[2], dtype=np.uint8)
+
+        CH = self._DECODE_CHUNK_ROWS
+        docs_p, rc_p = [], []
+        tf_p = [[] for _ in range(F)]
+        len_p = [[] for _ in range(F)]
+        for i0 in range(0, nrows, CH):
+            i1 = min(i0 + CH, nrows)
+            stream = data[off_arr[i0]:off_arr[i1]]
+            rbs = (off_arr[i0:i1] - off_arr[i0]).astype(np.int64)
+            d, tfs, lens, rc = self._decode_rows(stream, rbs, F)
+            docs_p.append(d)
+            rc_p.append(rc)
+            for f in range(F):
+                tf_p[f].append(tfs[f])
+                len_p[f].append(lens[f])
+        self.p_docs = np.concatenate(docs_p)
+        self.p_tf = [np.concatenate(x) for x in tf_p]
+        self.p_len = [np.concatenate(x) for x in len_p]
+        row_counts = np.concatenate(rc_p)
 
         # term dictionary: rows are term-sorted, so runs of equal codes
         # are term runs
@@ -191,9 +309,6 @@ class ShardData:
         fps = full["first_pos"].to_numpy()
         self.df = np.add.reduceat(dfs, row_ts)
         self.first_pos = np.minimum.reduceat(fps, row_ts)
-        # postings per row (blocks are row-contiguous after the lexsort)
-        row_counts = np.bincount(brow, weights=bn, minlength=nrows) \
-            .astype(np.int64)
         term_counts = np.add.reduceat(row_counts, row_ts)
         self.post_off = np.concatenate(
             ([0], np.cumsum(term_counts))).astype(np.int64)
