@@ -74,6 +74,13 @@ def cmd_vacuum(args):
     print(json.dumps({"vacuumed": True}))
 
 
+def cmd_compact(args):
+    _ensure_ray()
+    from probly_search_ray.maintain import compact_groups
+    n = compact_groups(args.index)
+    print(json.dumps({"groups_merged": n}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="probly_search_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -117,6 +124,11 @@ def main(argv=None):
     v = sub.add_parser("vacuum", help="compact away tombstones")
     v.add_argument("--index", required=True)
     v.set_defaults(fn=cmd_vacuum)
+
+    c = sub.add_parser("compact",
+                       help="merge all groups into one sorted group")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -163,6 +163,97 @@ def _gc_unreferenced_group_dirs(index_dir: str, man: Manifest) -> None:
             shutil.rmtree(full)
 
 
+def compact_groups(index_dir: str) -> int:
+    """Merge ALL committed groups' term files into one globally sorted
+    group (LSM-style compaction for append-heavy workflows): queries
+    then load each term from one contiguous run instead of one fragment
+    per group.  Results are invariant — rows are only re-sorted; the
+    load-time merge (df sums, first_pos mins) is associative.
+
+    Crash-safe like vacuum: the merged dir is written aside, ALL group
+    records are swapped in ONE atomic manifest write (a partial swap
+    would double-count postings), and only then are old dirs deleted;
+    group ids stay in the manifest with empty term_files so the build's
+    resume contract (skip committed gids) is unchanged.
+
+    Returns the number of groups merged (0 = nothing to do).
+    """
+    import ray.data
+
+    man = Manifest(index_dir)
+    _gc_unreferenced_group_dirs(index_dir, man)
+    gids = sorted(g for g, rec in man.groups.items() if rec["term_files"])
+    if len(gids) <= 1:
+        return 0
+    nf = man.data["config"]["num_fields"]
+    all_files = [os.path.join(index_dir, tf["path"])
+                 for g in gids for tf in man.groups[g]["term_files"]]
+    old_dirs = {os.path.dirname(f) for f in all_files}
+    gen = 1 + max(int(man.groups[g].get("compact_gen", 0)) for g in gids)
+    new_dir = os.path.join(index_dir, "terms", f"group={gids[0]}.c{gen}")
+    tmp_dir = new_dir + ".tmp"
+    for d in (tmp_dir, new_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    ds = ray.data.read_parquet(sorted(all_files))
+    nparts = max(16, 2 * int(__import__("ray").available_resources()
+                             .get("CPU", 8)))
+    ds.repartition(nparts).sort(["term", "doc_lo"]).write_parquet(tmp_dir)
+    os.replace(tmp_dir, new_dir)
+
+    term_files = []
+    meta_tables = []
+    import pyarrow.dataset as pads
+    for f in sorted(glob.glob(os.path.join(new_dir, "*.parquet"))):
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows == 0:
+            os.unlink(f)
+            continue
+        tcol = pads.dataset(f).to_table(columns=["term"])["term"]
+        term_files.append({"path": os.path.relpath(f, index_dir),
+                           "term_min": tcol[0].as_py(),
+                           "term_max": tcol[-1].as_py(),
+                           "rows": pf.metadata.num_rows})
+        mtab = pads.dataset(f).to_table(filter=pads.field("term") == "")
+        for blob in mtab["blob"].to_pylist():
+            meta_tables.append(read_docmeta_ipc(blob))
+
+    updates = {}
+    first = dict(man.groups[gids[0]])
+    first["term_files"] = term_files
+    first["num_docs"] = sum(man.groups[g]["num_docs"] for g in gids)
+    first["field_len_sums"] = [
+        sum(man.groups[g]["field_len_sums"][f] for g in gids)
+        for f in range(nf)]
+    first["compact_gen"] = gen
+    first["compacted_from"] = gids
+    updates[gids[0]] = first
+    for g in gids[1:]:
+        rec = dict(man.groups[g])
+        rec["term_files"] = []
+        rec["num_docs"] = 0
+        rec["field_len_sums"] = [0] * nf
+        updates[g] = rec
+    # new docmeta before the commit (duplicate rows across group files
+    # are benign for readers; old files removed after the swap)
+    meta_dir = os.path.join(index_dir, "docmeta")
+    os.makedirs(meta_dir, exist_ok=True)
+    if meta_tables:
+        tmp = os.path.join(meta_dir, f"group={gids[0]}.parquet.tmp")
+        pq.write_table(pa.concat_tables(meta_tables), tmp)
+        os.replace(tmp, os.path.join(meta_dir, f"group={gids[0]}.parquet"))
+    man.commit_groups(updates)  # ONE atomic swap
+    for d in old_dirs:
+        if os.path.normpath(d) != os.path.normpath(new_dir) \
+                and os.path.exists(d):
+            shutil.rmtree(d)
+    for g in gids[1:]:
+        p = os.path.join(meta_dir, f"group={g}.parquet")
+        if os.path.exists(p):
+            os.unlink(p)
+    return len(gids)
+
+
 def vacuum(index_dir: str) -> None:
     """Compaction job (``src/index.rs:193-241``).
 

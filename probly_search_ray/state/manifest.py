@@ -64,6 +64,13 @@ class Manifest:
         self.data["groups"][group_id] = record
         _atomic_write_json(self.path, self.data)
 
+    def commit_groups(self, records: dict) -> None:
+        """Atomically commit SEVERAL group records in one manifest write
+        (compaction must swap all groups' term_files at once — a partial
+        swap would double-count postings)."""
+        self.data["groups"].update(records)
+        _atomic_write_json(self.path, self.data)
+
     def set_config(self, cfg: dict) -> None:
         self.data["config"] = cfg
         _atomic_write_json(self.path, self.data)

@@ -196,3 +196,48 @@ def test_bulk_search_sharded_pool(tmp_path):
         from probly_search_ray.pipelines.bulk import release_shard_pools
         release_shard_pools()  # free the pool's CPU reservations
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_groups(tmp_path):
+    """LSM-style group compaction: results identical before/after, one
+    physical group remains, resume still treats all gids as committed,
+    and a later vacuum still works."""
+    import numpy as np
+    from probly_search_ray.maintain import compact_groups
+    rng = np.random.default_rng(23)
+    vocab = np.array(["alpha", "alp", "beta", "bet", "gamma", "g"])
+    files = []
+    idx = str(tmp_path / "index")
+    for step in range(4):
+        f = str(tmp_path / f"p{step}.parquet")
+        rows = [(step * 100 + i, " ".join(rng.choice(vocab, 6)))
+                for i in range(25)]
+        _write_file(f, rows)
+        files.append(f)
+    build_index(files, idx, field_cols=["f0"], files_per_group=1)
+    eng = SearchEngine(idx)
+    before = {q: eng.query(q, "bm25") for q in ["alp", "beta g", "gamma"]}
+    st_before = Stats(idx).data
+
+    assert compact_groups(idx) == 4
+    man = Manifest(idx)
+    assert sorted(man.groups) == ["00000", "00001", "00002", "00003"]
+    assert sum(1 for r in man.groups.values() if r["term_files"]) == 1
+    eng2 = SearchEngine(idx)
+    for q, want in before.items():
+        assert_results(eng2.query(q, "bm25"), want, f"compact:{q!r}")
+    assert Stats(idx).data == st_before
+    # resume: no group rebuilt
+    build_index(files, idx, field_cols=["f0"], files_per_group=1,
+                resume=True)
+    assert sum(1 for r in Manifest(idx).groups.values()
+               if r["term_files"]) == 1
+    # delete + vacuum still work on the compacted layout
+    remove_document(idx, 100)
+    vacuum(idx)
+    eng3 = SearchEngine(idx)
+    res = eng3.query("alp", "bm25")
+    assert all(d != 100 for d, _ in res)
+    # second compaction is a no-op (single group)
+    assert compact_groups(idx) == 0
