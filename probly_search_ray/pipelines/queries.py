@@ -389,6 +389,31 @@ def tfidf_top3(sf_dir: str):
     return docs.map_batches(score_batch, batch_format="pyarrow")
 
 
+def props_k_stats(sf_dir: str):
+    """JSON-field extraction (parser op): pull ``k`` out of the events
+    ``props`` JSON with a C-level regex kernel (no per-row Python),
+    then a grouped count/mean."""
+    from ray.data.aggregate import Count, Mean
+    import pyarrow.compute as pc
+
+    def extract(b: pa.Table) -> pa.Table:
+        col = b["props"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.float64())
+        return pa.table({"event_type": b["event_type"], "k": k})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "props"])
+    agg = ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Count(alias_name="n"), Mean("k", alias_name="avg_k"))
+    pdf = agg.to_pandas()
+    pdf["avg_k"] = pdf["avg_k"].round(6)
+    return pdf
+
+
 def source_dist(sf_dir: str):
     from ray.data.aggregate import Count
     return _docs(sf_dir, ["doc_id", "source"]).groupby("source") \
@@ -485,6 +510,7 @@ QUERIES = {
     "top_bigrams": top_bigrams,
     "tfidf_top3": tfidf_top3,
     "source_dist": source_dist,
+    "props_k_stats": props_k_stats,
 }
 
 
@@ -709,5 +735,11 @@ ORACLES = {
     """,
     "source_dist": """
         SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+    """,
+    "props_k_stats": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               round(avg(json_extract_string(props, '$.k')::DOUBLE), 6)
+                 AS avg_k
+        FROM events GROUP BY event_type
     """,
 }
