@@ -294,28 +294,46 @@ def events_sliding(sf_dir: str):
     lands in exactly two windows; window fan-out is a vectorized map,
     then one C-level groupby-agg — the streaming-window pattern
     without an event-time engine."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
     HOP_US = 1800 * 1_000_000
 
-    def fan_out(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
+        """Fan out to the 2 windows AND pre-aggregate within the batch
+        (combiner): the shuffle moves one row per (type, window) per
+        batch instead of 2 rows per event."""
         ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        base = (ts // HOP_US) * HOP_US
-        starts = np.concatenate((base, base - HOP_US))
-        idx = np.concatenate((np.arange(len(ts)), np.arange(len(ts))))
-        et = b["event_type"].take(pa.array(idx))
-        val = b["value"].take(pa.array(idx))
+        wi = ts // HOP_US
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        d = et.dictionary_encode()
+        codes = d.indices.to_numpy().astype(np.int64)
+        val = b["value"].to_numpy()
+        codes2 = np.concatenate((codes, codes))
+        wi2 = np.concatenate((wi, wi - 1))
+        val2 = np.concatenate((val, val))
+        key = (codes2 << np.int64(40)) | wi2  # wi ~ 1e6 ≪ 2^40
+        order = np.argsort(key, kind="stable")
+        k_s, v_s = key[order], val2[order]
+        st = np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))
+        n_part = np.diff(np.concatenate((st, [len(k_s)])))
+        sum_part = np.add.reduceat(v_s, st)
+        kc = (k_s[st] >> np.int64(40)).astype(np.int64)
+        kw = (k_s[st] & np.int64((1 << 40) - 1)) * HOP_US
         return pa.table({
-            "event_type": et,
-            "window_start": pa.array(starts.astype("datetime64[us]")),
-            "value": val,
+            "event_type": d.dictionary.take(pa.array(kc)).cast(pa.string()),
+            "window_start": pa.array(kw.astype("datetime64[us]")),
+            "n_part": pa.array(n_part.astype(np.int64)),
+            "sum_part": pa.array(sum_part.astype(np.float64)),
         })
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["ts", "event_type", "value"])
-    agg = ds.map_batches(fan_out, batch_format="pyarrow") \
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["event_type", "window_start"]) \
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n_part", alias_name="n"),
+                   Sum("sum_part", alias_name="sum_value"))
     pdf = agg.to_pandas()
     pdf["sum_value"] = pdf["sum_value"].round(6)
     return pdf

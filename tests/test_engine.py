@@ -278,3 +278,34 @@ def test_topk_pruning_exact(tmp_path):
         for e, tag in ((eng, "prune"), (eng3, "prune3")):
             pruned = e.query(q, "bm25", k=5)
             assert_results(pruned, full, f"{tag}:{q!r}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_csr_cache_roundtrip(tmp_path):
+    """mmap'd CSR cache load == fresh decode (results and dictionary),
+    and a rebuilt index invalidates the old cache via the manifest
+    signature."""
+    rng = np.random.default_rng(41)
+    vocab = np.array(["a", "ab", "abc", "b", "ba", "ca"])
+    corpus = _rand_corpus(rng, 50, 1, vocab)
+    eng_fresh = build_engine(tmp_path, corpus)  # writes the cache
+    import os as _os
+    assert _os.path.isdir(_os.path.join(eng_fresh.index_dir, "cache"))
+    from probly_search_ray.search import SearchEngine, ShardData
+    cached = SearchEngine(eng_fresh.index_dir)      # mmap hit
+    raw = ShardData(eng_fresh.index_dir, use_cache=False)
+    hit = ShardData(eng_fresh.index_dir)
+    assert hit.terms == raw.terms
+    assert (np.asarray(hit.p_docs) == raw.p_docs).all()
+    for q in ["a", "ab", "b c", "ca ba"]:
+        assert_results(cached.query(q, "bm25"), eng_fresh.query(q, "bm25"),
+                       f"cache:{q!r}")
+    # append → new signature → cache rebuilt, results track new state
+    extra = {max(corpus) + 1: ("ab ca zz",)}
+    all_corpus = dict(corpus); all_corpus.update(extra)
+    path2 = write_corpus(str(tmp_path / "more"), all_corpus, 1)
+    from probly_search_ray.build import build_index
+    build_index(path2, eng_fresh.index_dir, key_col="doc_id",
+                field_cols=["f0"], overwrite=True)
+    eng2 = SearchEngine(eng_fresh.index_dir)
+    assert any(d == max(all_corpus) for d, _ in eng2.query("zz", "bm25"))
