@@ -1004,6 +1004,23 @@ class SearchEngine:
         starts = np.flatnonzero(newgrp)
         ends = np.concatenate((starts[1:], [len(doc)]))
         scores: dict[int, float] = {}
+        if len(np.unique(qti_a)) == 1:
+            # single query term: each (doc, field) pool consumes exactly
+            # its FIRST record (the qti is consumed immediately), so the
+            # whole pool walk vectorizes: field score = first record's
+            # value, doc score = max over fields.
+            tf0 = tf_a[starts].astype(np.float64)
+            v = np.minimum(sc[starts] / tf0, 1.0) * tf0 / np.maximum(
+                fl_a[starts], qlen).astype(np.float64)
+            d0 = doc[starts]
+            o = np.argsort(d0, kind="stable")
+            d_s, v_s = d0[o], v[o]
+            st2 = np.flatnonzero(np.concatenate(
+                ([True], d_s[1:] != d_s[:-1])))
+            dmax = np.maximum.reduceat(v_s, st2)
+            scores = dict(zip((int(x) for x in d_s[st2]),
+                              (float(x) for x in dmax)))
+            return [(int(d), scores.get(int(d), 0.0)) for d in candidates]
         for s0, s1 in zip(starts, ends):
             d = int(doc[s0])
             pool: dict[int, int] = {}
