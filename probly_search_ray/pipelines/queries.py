@@ -135,9 +135,22 @@ def bulk_bm25(sf_dir: str):
 
 
 def zero_to_one_search(sf_dir: str):
-    """zero_to_one scorer top-20 (rows-only check: not SQL-expressible)."""
+    """zero_to_one scorer top-20 (rows-only check: multi-term pool
+    consumption is not SQL-expressible; pinned by the 11 reference
+    fixtures in pytest)."""
     eng = _engine(sf_dir)
     res = eng.query(" ".join(BM25_QUERY_TERMS), "zero_to_one", k=20)
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
+def zero_to_one_exact(sf_dir: str):
+    """Single exact term through the zero_to_one scorer — this case has
+    a closed form the SQL oracle can check: the one record per
+    (doc, field) pool scores min(1/tf,1)·tf/max(len, qlen) = 1/len, so
+    doc score = 1/(doc token count) for docs containing the term."""
+    eng = _engine(sf_dir)
+    res = eng.query(BM25_QUERY_TERMS[0], "zero_to_one", expand=False)
     return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
                          "score": [round(s, 6) for _, s in res]})
 
@@ -509,6 +522,7 @@ QUERIES = {
     "bm25_prefix": bm25_prefix,
     "bulk_bm25": bulk_bm25,
     "zero_to_one_search": zero_to_one_search,
+    "zero_to_one_exact": zero_to_one_exact,
     "dedup_exact": dedup_exact_survivors,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -753,6 +767,15 @@ ORACLES = {
     """,
     "source_dist": """
         SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+    """,
+    "zero_to_one_exact": f"""
+        WITH dl AS (SELECT doc_id, len({_TOK}) AS len FROM documents),
+        hit AS (SELECT DISTINCT doc_id FROM
+                  (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+                WHERE t = '{BM25_QUERY_TERMS[0]}')
+        SELECT h.doc_id,
+               round(1.0 / greatest(dl.len, 1), 6) AS score
+        FROM hit h JOIN dl ON h.doc_id = dl.doc_id
     """,
     "props_k_stats": """
         SELECT event_type, count(*)::BIGINT AS n,
