@@ -165,8 +165,11 @@ def dedup_exact_survivors(sf_dir: str):
 
 def minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-dup pairs (Jaccard ≥ 0.8, exact-verified).
-    Rows-only check (LSH not SQL-expressible)."""
-    df = near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
+    bands=64 (r=2) → candidate recall at the 0.8 threshold is
+    1-(1-0.8²)^64 ≈ 1-1e-28, so the brute-force SQL oracle is a fair
+    comparison (false candidates die in the exact verification)."""
+    df = near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8,
+                        bands=64)
     return df
 
 
@@ -664,6 +667,24 @@ ORACLES = {
                / (least((SELECT n_docs FROM stats), df.df) + 0.5)), 6) AS score
         FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
         JOIN qt ON qt.t = tf.t
+    """,
+    "minhash_near_dups": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOK} AS ts FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+            list_transform(generate_series(1, len(ts) - 2),
+                           i -> array_to_string(ts[i:i+2], ' ')) AS shingles
+          FROM toks WHERE len(ts) >= 3
+        ),
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+            len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT a, b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.8
     """,
     "ngram_jaccard_pairs": f"""
         WITH toks AS (
