@@ -722,6 +722,34 @@ ORACLES = {
     "lang_dist": """
         SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
     """,
+    # the engine heuristic exactly: occurrence-counted stopword hits per
+    # language profile, argmax with alphabetical-first tie-break, no
+    # hits → 'und'
+    "langid": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+        prof AS (
+          SELECT * FROM (VALUES {", ".join(
+              f"('{lang}', '{w}')"
+              for lang in sorted(textstats.LANG_PROFILES)
+              for w in sorted(textstats.LANG_PROFILES[lang]))})
+               AS v(lang, w)
+        ),
+        hits AS (
+          SELECT tok.doc_id, prof.lang, count(*) AS c
+          FROM tok JOIN prof ON tok.t = prof.w
+          GROUP BY tok.doc_id, prof.lang
+        ),
+        best AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY c DESC, lang ASC) AS r
+          FROM hits
+        )
+        SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, lang FROM best WHERE r = 1) b
+          USING (doc_id)
+    """,
     "embedding_near_dups": f"""
         SELECT a.vec_id AS a, b.vec_id AS b,
                round(list_cosine_similarity(a.embedding, b.embedding), 5)
