@@ -68,3 +68,53 @@ def test_string_keys_end_to_end(tmp_path):
     eng2 = SearchEngine(idx)
     assert_results(eng2.query("crawl", "bm25"),
                    ref.query("crawl", BM25(), tok, [1.0]), "sk:removed")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_composition_torture(tmp_path):
+    """String keys × multi-value fields × remove × vacuum × compaction,
+    differential vs refmodel at every step."""
+    from probly_search_ray.maintain import compact_groups, vacuum
+    rng = np.random.default_rng(53)
+    vocab = np.array(["a", "ab", "b", "ba", "crawl", "cra", "web"])
+    urls, rows_f0, rows_f1 = [], [], []
+    for d in range(40):
+        urls.append(f"https://x{d}.example/")
+        nvals = int(rng.integers(0, 3))
+        rows_f0.append([" ".join(rng.choice(vocab, int(rng.integers(0, 5))))
+                        for _ in range(nvals)])
+        rows_f1.append([" ".join(rng.choice(vocab, int(rng.integers(1, 6))))])
+    f1 = str(tmp_path / "a.parquet")
+    f2 = str(tmp_path / "b.parquet")
+    for path, sl in ((f1, slice(0, 25)), (f2, slice(25, 40))):
+        pq.write_table(pa.table({
+            "url": pa.array(urls[sl], type=pa.string()),
+            "t0": pa.array(rows_f0[sl], type=pa.list_(pa.string())),
+            "t1": pa.array(rows_f1[sl], type=pa.list_(pa.string())),
+        }), path)
+    idx = str(tmp_path / "index")
+    build_index([f1, f2], idx, key_col="url", field_cols=["t0", "t1"],
+                string_key=True, files_per_group=1, batch_size=7)
+
+    ids = hash_keys(urls)
+    ref = RefIndex(2)
+    for i in np.argsort(ids):  # engine insertion order = hash order
+        ref.add_document([rows_f0[i], rows_f1[i]], tok, int(ids[i]))
+
+    def check(eng, tag):
+        for q in ["a", "cra", "web b", "ab ba crawl"]:
+            for boosts in ([1.0, 1.0], [2.0, 0.5]):
+                assert_results(
+                    eng.query(q, "bm25", fields_boost=list(boosts)),
+                    ref.query(q, BM25(), tok, boosts), f"{tag}:{q!r}")
+
+    check(SearchEngine(idx), "built")
+    assert remove_documents_by_key(idx, [urls[3], urls[30]]) == 2
+    ref.remove_document(int(ids[3]))
+    ref.remove_document(int(ids[30]))
+    check(SearchEngine(idx), "removed")
+    vacuum(idx)
+    ref.vacuum()
+    check(SearchEngine(idx), "vacuumed")
+    assert compact_groups(idx) == 2
+    check(SearchEngine(idx), "compacted")
