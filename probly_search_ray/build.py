@@ -132,6 +132,7 @@ def build_index(
     pre_transform=None,
     read_cols: list[str] | None = None,
     string_key: bool = False,
+    warm_cache: bool = False,
 ) -> dict:
     """Build (or resume building) an index over Parquet inputs.
 
@@ -310,4 +311,9 @@ def build_index(
             total_docs -= len(lens_by_doc)
         stats.set_from_build(total_docs, list(total_sums))
     Tombstones(index_dir)  # touch
+    if warm_cache:
+        # pre-decode into the full-range mmap cache so the FIRST serving
+        # engine starts in milliseconds; any shard layout slices it
+        from probly_search_ray.search import ShardData
+        ShardData(index_dir)
     return man.data

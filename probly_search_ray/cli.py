@@ -34,7 +34,7 @@ def cmd_build(args):
         key_col=args.key, field_cols=args.fields.split(","),
         files_per_group=args.files_per_group, batch_size=args.batch_size,
         block_postings=args.block_postings, overwrite=args.overwrite,
-        resume=not args.no_resume)
+        resume=not args.no_resume, warm_cache=args.warm_cache)
     groups = man["groups"]
     total = sum(g["num_docs"] for g in groups.values())
     print(json.dumps({"groups": len(groups), "docs": total,
@@ -95,6 +95,8 @@ def main(argv=None):
     b.add_argument("--block-postings", type=int, default=4096)
     b.add_argument("--overwrite", action="store_true")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--warm-cache", action="store_true",
+                   help="pre-decode the mmap CSR cache after the build")
     b.set_defaults(fn=cmd_build)
 
     bp = sub.add_parser("build-pages", help="flagship CC-pages pipeline")

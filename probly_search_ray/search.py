@@ -87,8 +87,15 @@ class ShardData:
         if use_cache:
             self._cache_dir = self._cache_path(index_dir, man,
                                                term_lo, term_hi)
-            if self._cache_dir and self._load_from_cache(self._cache_dir):
+            if self._load_from_cache(self._cache_dir):
                 return
+            if (term_lo, term_hi) != (None, None):
+                # a FULL-range cache serves any shard layout: memmap it
+                # and take term-range slices (views, no copies)
+                full_dir = self._cache_path(index_dir, man, None, None)
+                if self._load_from_cache(full_dir,
+                                         slice_range=(term_lo, term_hi)):
+                    return
         tables = []
         for rec in man.term_files():
             if term_hi is not None and rec["term_min"] is not None \
@@ -177,7 +184,7 @@ class ShardData:
         except OSError:
             pass  # cache is best-effort (read-only index dir etc.)
 
-    def _load_from_cache(self, cdir: str) -> bool:
+    def _load_from_cache(self, cdir: str, slice_range=None) -> bool:
         if not os.path.isdir(cdir):
             return False
         try:
@@ -185,8 +192,8 @@ class ShardData:
                 raw = fh.read()
             lens = np.load(os.path.join(cdir, "term_lens.npy"))
             offs = np.concatenate(([0], np.cumsum(lens)))
-            self.terms = [raw[offs[i]:offs[i + 1]].decode()
-                          for i in range(len(lens))]
+            terms = [raw[offs[i]:offs[i + 1]].decode()
+                     for i in range(len(lens))]
             for name in self._CACHE_ARRAYS:
                 setattr(self, name, np.load(
                     os.path.join(cdir, name + ".npy"), mmap_mode="r"))
@@ -197,9 +204,24 @@ class ShardData:
                                   mmap_mode="r")
                           for f in range(self.num_fields)]
             # small metadata arrays are hot — materialize them
+            self.terms = terms
             self.df = np.array(self.df)
             self.first_pos = np.array(self.first_pos)
-            self.post_off = np.array(self.post_off)
+            post_off = np.array(self.post_off)
+            if slice_range is not None:
+                lo, hi = slice_range
+                i0 = bisect.bisect_left(terms, lo) if lo is not None else 0
+                i1 = bisect.bisect_left(terms, hi) if hi is not None \
+                    else len(terms)
+                p0, p1 = int(post_off[i0]), int(post_off[i1])
+                self.terms = terms[i0:i1]
+                self.df = self.df[i0:i1]
+                self.first_pos = self.first_pos[i0:i1]
+                post_off = post_off[i0:i1 + 1] - p0
+                self.p_docs = self.p_docs[p0:p1]
+                self.p_tf = [t[p0:p1] for t in self.p_tf]
+                self.p_len = [l[p0:p1] for l in self.p_len]
+            self.post_off = post_off
             return True
         except (OSError, ValueError):
             return False

@@ -309,3 +309,26 @@ def test_csr_cache_roundtrip(tmp_path):
                 field_cols=["f0"], overwrite=True)
     eng2 = SearchEngine(eng_fresh.index_dir)
     assert any(d == max(all_corpus) for d, _ in eng2.query("zz", "bm25"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_cache_serves_shard_ranges(tmp_path):
+    """build_index(warm_cache=True) writes ONE full-range mmap cache;
+    a sharded engine slices it (no per-range cache dirs, no decode)
+    and returns identical results."""
+    rng = np.random.default_rng(47)
+    vocab = np.array(["alpha", "alp", "beta", "bet", "gamma", "g"])
+    corpus = _rand_corpus(rng, 60, 1, vocab)
+    path = write_corpus(str(tmp_path), corpus, 1)
+    idx = os.path.join(str(tmp_path), "index")
+    build_index(path, idx, key_col="doc_id", field_cols=["f0"],
+                overwrite=True, warm_cache=True)
+    cache_dirs = os.listdir(os.path.join(idx, "cache"))
+    assert len(cache_dirs) == 1
+    eng1 = SearchEngine(idx, num_shards=1)
+    eng3 = SearchEngine(idx, num_shards=3)
+    for q in ["alp", "beta g", "gamma alpha"]:
+        assert_results(eng3.query(q, "bm25"), eng1.query(q, "bm25"),
+                       f"fullcache:{q!r}")
+    # the sharded load did NOT create range-specific cache dirs
+    assert os.listdir(os.path.join(idx, "cache")) == cache_dirs
