@@ -93,6 +93,11 @@ def bulk_search(queries_ds, index_dir: str, scorer: str = "bm25",
     thin coordinators over it (the multi-node shape — index memory is
     paid once, not once per bulk actor)."""
     if num_shards is None:
+        # small query sets often arrive as one block — split so the
+        # actor pool actually parallelizes.  (The sharded branch skips
+        # this: its resident shard pool reserves most CPUs by design,
+        # and extra repartition tasks could starve on a small cluster.)
+        queries_ds = queries_ds.repartition(max(concurrency, 2))
         return queries_ds.map_batches(
             BulkSearcher,
             fn_constructor_args=(index_dir, scorer, k, expand),
