@@ -6,23 +6,37 @@ numpy uint64 wraparound arithmetic — no Python loop over tokens.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
+import pandas as pd
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
+_HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
 
-def md5_hex(values: list[bytes | str]) -> list[str]:
-    """Content hash for exact dedup (collision-safe at 10^12 docs)."""
-    out = []
-    for v in values:
-        if isinstance(v, str):
-            v = v.encode()
-        out.append(hashlib.md5(v).hexdigest())
-    return out
+
+def content_hash_hex(values: np.ndarray) -> np.ndarray:
+    """Vectorized 128-bit content hash for exact dedup: two independent
+    64-bit SipHash lanes (pandas' C ``hash_array`` with distinct keys)
+    over the full byte stream of each string, rendered as 32 hex chars.
+    Collision probability ≈ n²/2^129 — safe at 10^12 docs — with no
+    per-row Python (the old per-row ``hashlib.md5`` loop was the one
+    row-wise Python pass in a full-corpus stage).
+
+    Takes an object ndarray of str; returns a ``U32`` unicode ndarray.
+    """
+    arr = np.asarray(values, dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key="psr_dedup_lane_0")
+    h2 = pd.util.hash_array(arr, hash_key="psr_dedup_lane_1")
+    raw = np.empty((len(arr), 2), dtype=">u8")  # big-endian for stable hex
+    raw[:, 0] = h1
+    raw[:, 1] = h2
+    b = raw.view(np.uint8).reshape(len(arr), 16)
+    out = np.empty((len(arr), 32), dtype=np.uint8)
+    out[:, 0::2] = _HEX[b >> 4]
+    out[:, 1::2] = _HEX[b & 0x0F]
+    return out.reshape(-1).view("S32").astype("U32")
 
 
 def hash_tokens_u64(tokens: np.ndarray) -> np.ndarray:

@@ -77,10 +77,23 @@ def term_df(sf_dir: str):
     return ds.groupby("term").aggregate(Sum("df_part", alias_name="df"))
 
 
+def _topk_rows(ds, sort_cols: list[str], ascending: list[bool], k: int):
+    """Distributed top-k over an aggregate stream: each BLOCK emits its
+    own top-k (map_batches, batch_size=None → one call per block), so
+    the driver merges at most P·k rows — never the full distinct-key
+    table (the corpus-wide vocab at 100 TB is 10^10+ rows)."""
+    def blk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=ascending,
+                              kind="stable").head(k)
+
+    parts = ds.map_batches(blk, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    return parts.sort_values(sort_cols, ascending=ascending, kind="stable") \
+        .head(k).reset_index(drop=True)
+
+
 def top_terms(sf_dir: str):
-    df = term_df(sf_dir).to_pandas()
-    df = df.sort_values(["df", "term"], ascending=[False, True]).head(20)
-    return df.reset_index(drop=True)
+    return _topk_rows(term_df(sf_dir), ["df", "term"], [False, True], 20)
 
 
 def index_stats(sf_dir: str):
@@ -300,9 +313,7 @@ def top_bigrams(sf_dir: str):
     agg = _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("bigram").aggregate(Sum("n_part", alias_name="n"))
-    df = agg.to_pandas().sort_values(["n", "bigram"],
-                                     ascending=[False, True]).head(20)
-    return df.reset_index(drop=True)
+    return _topk_rows(agg, ["n", "bigram"], [False, True], 20)
 
 
 def events_sliding(sf_dir: str):

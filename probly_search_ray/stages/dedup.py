@@ -22,7 +22,8 @@ import pandas as pd
 import pyarrow as pa
 
 from probly_search_ray.functions.hashing import (
-    band_hashes, hash_tokens_u64, md5_hex, minhash_signatures, shingle_hashes)
+    band_hashes, content_hash_hex, hash_tokens_u64, minhash_signatures,
+    shingle_hashes)
 from probly_search_ray.stages.textstats import _tokenize_flat
 
 
@@ -30,7 +31,7 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    hashes = md5_hex(col.to_pylist())
+    hashes = content_hash_hex(col.to_numpy(zero_copy_only=False))
     return pa.table({"doc_id": batch["doc_id"],
                      "content_hash": pa.array(hashes, type=pa.string())})
 

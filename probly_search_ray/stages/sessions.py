@@ -40,17 +40,19 @@ def sessionize(events_ds, gap_minutes: int = 30):
         lambda g: sessionize_group(g, gap_minutes), batch_format="pandas")
 
 
-def sessionize_sorted(events_ds, gap_minutes: int = 30) -> pd.DataFrame:
+def sessionize_sorted(events_ds, gap_minutes: int = 30,
+                      merge_buckets: int = 32):
     """Sessionization without per-user Python: ONE global sort by
     (user_id, ts), a vectorized map_batches pass that collapses each
     batch into maximal session *segments* (start/end/count/sum), then a
-    vectorized segment-level merge for sessions that span batch
-    boundaries.  Per-row work is all C-level; the merge input is one
-    row per segment (≈ #sessions), not per event.
-
-    Scale note: the final merge runs on the driver over segments —
-    fine while #sessions fits one node; beyond that, repartition the
-    segment stream by user-range and apply the same merge per range.
+    DISTRIBUTED segment-level merge for sessions that span batch
+    boundaries: segments shuffle by user bucket (``user_id %
+    merge_buckets`` — a session belongs to exactly one user, so any
+    same-user co-location works) and each bucket runs the same
+    vectorized merge over ALL its users at once.  Per-row work is all
+    C-level; the merge shuffle moves one row per segment (≈ #sessions),
+    never per event, and the driver holds nothing — the result is a
+    streaming Dataset.
     """
     import pyarrow as pa
 
@@ -79,27 +81,38 @@ def sessionize_sorted(events_ds, gap_minutes: int = 30) -> pd.DataFrame:
                                   .astype(np.float64)),
         })
 
-    segs = events_ds.sort(["user_id", "ts"]) \
-        .map_batches(partial, batch_format="pyarrow").to_pandas()
-    if not len(segs):
-        return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
-                             "session_start": pd.Series(dtype="datetime64[us]"),
-                             "n_events": pd.Series(dtype=np.int64),
-                             "sum_value": pd.Series(dtype=np.float64)})
-    # segments arrive in (user, ts) order (map_batches preserves row
-    # order); merge boundary-split sessions vectorized at segment level
-    u = segs["user_id"].to_numpy()
-    st = segs["session_start"].to_numpy()
-    en = segs["session_end"].to_numpy()
-    new = np.ones(len(segs), dtype=bool)
-    new[1:] = (u[1:] != u[:-1]) | (st[1:] - en[:-1] > gap)
-    segs = segs.assign(_gid=np.cumsum(new))
-    out = segs.groupby("_gid", as_index=False).agg(
-        user_id=("user_id", "first"),
-        session_start=("session_start", "min"),
-        n_events=("n_events", "sum"),
-        sum_value=("sum_value", "sum"),
-    ).drop(columns=["_gid"])
-    out["n_events"] = out["n_events"].astype(np.int64)
-    out["sum_value"] = out["sum_value"].round(6)
-    return out.reset_index(drop=True)
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ub = b["user_id"].to_numpy().astype(np.int64) % merge_buckets
+        return b.append_column("_ub", pa.array(ub))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # same vectorized merge as before, now per bucket: sort the
+        # bucket's segments back into (user, ts) order, then collapse
+        # boundary-split sessions in one pass over ALL its users
+        if not len(g):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "session_start": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype=np.int64),
+                "sum_value": pd.Series(dtype=np.float64)})
+        g = g.sort_values(["user_id", "session_start"], kind="stable")
+        u = g["user_id"].to_numpy()
+        st = g["session_start"].to_numpy()
+        en = g["session_end"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (st[1:] - en[:-1] > gap)
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(g)]))
+        ne = g["n_events"].to_numpy()
+        sv = g["sum_value"].to_numpy()
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "session_start": st[starts],
+            "n_events": np.add.reduceat(ne, starts).astype(np.int64),
+            "sum_value": np.add.reduceat(sv, starts).round(6),
+        })
+
+    return events_ds.sort(["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_ub").map_groups(merge_bucket, batch_format="pandas")
