@@ -87,6 +87,19 @@ def bench_build(pages_dir: str, num_cpus: int, timed_runs: int = 2) -> dict:
             "index_dir": idx_dir}
 
 
+def bench_cold_start(idx_dir: str) -> dict:
+    """Engine start on a freshly-built index (build-time CSR cache →
+    metadata-only mmap load) + first query."""
+    from probly_search_ray.search import SearchEngine
+    t0 = time.perf_counter()
+    eng = SearchEngine(idx_dir)
+    t1 = time.perf_counter()
+    eng.query("table stream", "bm25", k=10)
+    t2 = time.perf_counter()
+    return {"engine_start_sec": round(t1 - t0, 4),
+            "first_query_sec": round(t2 - t1, 4)}
+
+
 def bench_queries(idx_dir: str, num_cpus: int) -> dict:
     import numpy as np
     from probly_search_ray.search import SearchEngine
@@ -191,6 +204,7 @@ def main():
         "build": build,
     }
     if mode == "full":
+        result["cold_start"] = bench_cold_start(build["index_dir"])
         result["query_latency"] = bench_queries(build["index_dir"], num_cpus)
         result["queries"] = bench_pipelines(sf_dir)
     ray.shutdown()

@@ -132,7 +132,7 @@ def build_index(
     pre_transform=None,
     read_cols: list[str] | None = None,
     string_key: bool = False,
-    warm_cache: bool = False,
+    warm_cache: bool = True,
 ) -> dict:
     """Build (or resume building) an index over Parquet inputs.
 
@@ -312,8 +312,10 @@ def build_index(
         stats.set_from_build(total_docs, list(total_sums))
     Tombstones(index_dir)  # touch
     if warm_cache:
-        # pre-decode into the full-range mmap cache so the FIRST serving
-        # engine starts in milliseconds; any shard layout slices it
-        from probly_search_ray.search import ShardData
-        ShardData(index_dir)
+        # pre-decode into the full-range mmap cache (one Ray task per
+        # term file, default ON) so the FIRST serving engine starts in
+        # milliseconds instead of paying the cold whole-index decode;
+        # any shard layout slices the full-range cache
+        from probly_search_ray.search import build_csr_cache
+        build_csr_cache(index_dir)
     return man.data

@@ -95,8 +95,14 @@ def main(argv=None):
     b.add_argument("--block-postings", type=int, default=4096)
     b.add_argument("--overwrite", action="store_true")
     b.add_argument("--no-resume", action="store_true")
-    b.add_argument("--warm-cache", action="store_true",
-                   help="pre-decode the mmap CSR cache after the build")
+    b.add_argument("--warm-cache", dest="warm_cache", action="store_true",
+                   default=True,
+                   help="pre-decode the mmap CSR cache after the build "
+                        "(default on; see --no-warm-cache)")
+    b.add_argument("--no-warm-cache", dest="warm_cache",
+                   action="store_false",
+                   help="skip the build-time CSR cache (first engine "
+                        "start then pays the cold decode)")
     b.set_defaults(fn=cmd_build)
 
     bp = sub.add_parser("build-pages", help="flagship CC-pages pipeline")

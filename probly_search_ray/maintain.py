@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from probly_search_ray.functions.codec import decode_blob, encode_block
+from probly_search_ray.search import _grouped_arange
 from probly_search_ray.stages.segment import SEGMENT_SCHEMA, docmeta_ipc, read_docmeta_ipc
 from probly_search_ray.state.manifest import Manifest, Stats, Tombstones
 
@@ -90,44 +90,41 @@ def _docs_field_lengths(index_dir: str, doc_ids) -> dict[int, list[int]]:
 
 
 class _Compactor:
-    """map_batches stage: drop tombstoned postings from every blob."""
+    """map_batches stage: drop tombstoned postings from every blob.
+
+    Vectorized like the query-side loader: ONE ``_decode_rows`` pass
+    over the batch's concatenated blob stream, one tombstone anti-join
+    over all postings, one ``encode_many`` re-encode — no per-term
+    Python decode/encode loop (the same pattern whose query-side twin
+    caused the round-1 p95 blow-up).  Doc-meta sentinel rows (few per
+    batch) keep their per-blob IPC path."""
 
     def __init__(self, tomb_sorted: np.ndarray, num_fields: int):
         self.tomb = tomb_sorted
         self.nf = num_fields
+        from probly_search_ray.functions.mem import tune_allocator
+        tune_allocator()
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        terms = batch["term"].to_pylist()
-        blobs = batch["blob"].to_pylist()
-        keep_rows, new_blobs, new_df = [], [], []
-        new_lo, new_hi = [], []
-        for i, term in enumerate(terms):
-            if term == "":
-                mt = read_docmeta_ipc(blobs[i])
-                ids = mt["doc_id"].to_numpy()
-                keep = ~_in_sorted(ids, self.tomb)
-                if not keep.any():
-                    continue
-                lens = [mt[f"len_{f}"].to_numpy()[keep] for f in range(self.nf)]
-                tots = [mt[f"tot_{f}"].to_numpy()[keep] for f in range(self.nf)]
-                keep_rows.append(i)
-                new_blobs.append(docmeta_ipc(ids[keep], lens, tots))
-                new_df.append(int(keep.sum()))
-                new_lo.append(int(ids[keep].min()))
-                new_hi.append(int(ids[keep].max()))
-                continue
-            docs, occ, tfs, lens = decode_blob(blobs[i], self.nf)
-            keep = ~_in_sorted(docs, self.tomb)
+    def _meta_rows(self, batch: pa.Table) -> pa.Table | None:
+        import pyarrow.compute as pc
+        mt_tbl = batch.filter(pc.equal(batch["term"], ""))
+        keep_rows, new_blobs, new_df, new_lo, new_hi = [], [], [], [], []
+        for i, blob in enumerate(mt_tbl["blob"].to_pylist()):
+            mt = read_docmeta_ipc(blob)
+            ids = mt["doc_id"].to_numpy()
+            keep = ~_in_sorted(ids, self.tomb)
             if not keep.any():
-                continue  # prune term row (src/index.rs:216-239)
+                continue
+            lens = [mt[f"len_{f}"].to_numpy()[keep] for f in range(self.nf)]
+            tots = [mt[f"tot_{f}"].to_numpy()[keep] for f in range(self.nf)]
             keep_rows.append(i)
-            new_blobs.append(encode_block(
-                docs[keep],
-                [t[keep] for t in tfs], [l[keep] for l in lens]))
-            new_df.append(int(occ[keep].sum()))
-            new_lo.append(int(docs[keep][0]))
-            new_hi.append(int(docs[keep][-1]))
-        sub = batch.take(pa.array(keep_rows, type=pa.int64()))
+            new_blobs.append(docmeta_ipc(ids[keep], lens, tots))
+            new_df.append(int(keep.sum()))
+            new_lo.append(int(ids[keep].min()))
+            new_hi.append(int(ids[keep].max()))
+        if not keep_rows:
+            return None
+        sub = mt_tbl.take(pa.array(keep_rows, type=pa.int64()))
         return pa.table({
             "term": sub["term"],
             "doc_lo": pa.array(new_lo, type=pa.uint64()),
@@ -136,6 +133,72 @@ class _Compactor:
             "first_pos": sub["first_pos"],
             "blob": pa.array(new_blobs, type=pa.large_binary()),
         }, schema=SEGMENT_SCHEMA)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from probly_search_ray.functions.codec import encode_many
+        from probly_search_ray.search import ShardData
+
+        meta_out = self._meta_rows(batch)
+        post_tbl = batch.filter(pc.invert(pc.equal(batch["term"], "")))
+        F = self.nf
+        nrows = len(post_tbl)
+        if nrows == 0:
+            return meta_out if meta_out is not None else \
+                batch.slice(0, 0).cast(SEGMENT_SCHEMA)
+        blob_col = post_tbl["blob"].combine_chunks()
+        off_buf = np.frombuffer(blob_col.buffers()[1], dtype=np.int64)
+        off_arr = off_buf[blob_col.offset: blob_col.offset + nrows + 1]
+        data = np.frombuffer(blob_col.buffers()[2], dtype=np.uint8)
+        stream = data[off_arr[0]:off_arr[-1]]
+        rbs = (off_arr[:-1] - off_arr[0]).astype(np.int64)
+        docs, tfs, lens, row_counts = ShardData._decode_rows(stream, rbs, F)
+
+        keep = ~_in_sorted(docs, self.tomb)
+        row_idx = np.repeat(np.arange(nrows, dtype=np.int64), row_counts)
+        cnt = np.bincount(row_idx[keep], minlength=nrows).astype(np.int64)
+        keep_rows = cnt > 0          # empty rows pruned (src/index.rs:216-239)
+        docs_k = docs[keep]
+        tfs_k = [t[keep].astype(np.uint64) for t in tfs]
+        lens_k = [l[keep].astype(np.uint64) for l in lens]
+        c = cnt[keep_rows]           # postings per surviving row
+        nsurv = len(c)
+        rs = np.cumsum(c) - c        # posting start per surviving row
+
+        # value layout per row: [n, first, deltas…, tf_f…, len_f…]
+        per_row = 2 + (c - 1) + 2 * F * c
+        v_ends = np.cumsum(per_row)
+        v_starts = v_ends - per_row
+        vals = np.empty(int(v_ends[-1]) if nsurv else 0, dtype=np.uint64)
+        vals[v_starts] = c.astype(np.uint64)
+        # docs as [first, deltas…]: absolute at each row start, delta after
+        dd = docs_k.copy()
+        dd[1:] -= docs_k[:-1]
+        dd[rs] = docs_k[rs]
+        ga = _grouped_arange(c)
+        vals[np.repeat(v_starts + 1, c) + ga] = dd
+        for f in range(F):
+            vals[np.repeat(v_starts + 1 + c + f * c, c) + ga] = tfs_k[f]
+        for f in range(F):
+            vals[np.repeat(v_starts + 1 + c + (F + f) * c, c) + ga] = lens_k[f]
+        new_blobs = encode_many(vals, v_ends)
+
+        occ = np.zeros(len(docs_k), dtype=np.uint64)
+        for t in tfs_k:
+            occ += t
+        new_df = np.add.reduceat(occ, rs) if nsurv else np.empty(0, np.uint64)
+        sub = post_tbl.filter(pa.array(keep_rows))
+        out = pa.table({
+            "term": sub["term"],
+            "doc_lo": pa.array(docs_k[rs], type=pa.uint64()),
+            "doc_hi": pa.array(docs_k[np.cumsum(c) - 1], type=pa.uint64()),
+            "df": pa.array(new_df, type=pa.uint64()),
+            "first_pos": sub["first_pos"],
+            "blob": pa.array(new_blobs, type=pa.large_binary()),
+        }, schema=SEGMENT_SCHEMA)
+        if meta_out is not None:
+            out = pa.concat_tables([meta_out, out])
+        return out
 
 
 def _in_sorted(values, sorted_arr):
@@ -251,6 +314,8 @@ def compact_groups(index_dir: str) -> int:
         p = os.path.join(meta_dir, f"group={g}.parquet")
         if os.path.exists(p):
             os.unlink(p)
+    from probly_search_ray.search import build_csr_cache
+    build_csr_cache(index_dir)  # next engine start is cache-warm
     return len(gids)
 
 
@@ -333,3 +398,5 @@ def vacuum(index_dir: str) -> None:
                     and os.path.exists(d):
                 shutil.rmtree(d)
     tomb.clear()
+    from probly_search_ray.search import build_csr_cache
+    build_csr_cache(index_dir)  # next engine start is cache-warm

@@ -157,6 +157,19 @@ def zero_to_one_search(sf_dir: str):
                          "score": [round(s, 6) for _, s in res]})
 
 
+def zero_to_one_multi(sf_dir: str):
+    """Multi-term zero_to_one with distinct exact terms — exercises the
+    vectorized multi-term pool-consumption path and has a closed form
+    the SQL oracle can check: each matching query term contributes its
+    (doc, field) pool's first record, min(1/tf,1)·tf/max(len,qlen) =
+    1/max(len, qlen), so doc score = m/max(len, 3) where m = #distinct
+    query terms present in the doc (qlen = 3 query tokens)."""
+    eng = _engine(sf_dir)
+    res = eng.query(" ".join(BM25_QUERY_TERMS), "zero_to_one", expand=False)
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
 def zero_to_one_exact(sf_dir: str):
     """Single exact term through the zero_to_one scorer — this case has
     a closed form the SQL oracle can check: the one record per
@@ -231,6 +244,81 @@ def simhash(sf_dir: str):
         textstats.simhash_stage, batch_format="pyarrow")
 
 
+# --- independent pure-Python reimplementations for cross-checks ---------
+# (deliberately share NO code with functions/hashing.py: big-int modular
+# arithmetic instead of numpy byte views, so a bug in either side breaks
+# the agreement count and the oracle hash)
+
+_CHECK_N = 200
+_M64 = (1 << 64) - 1
+
+
+def _ref_token_hash(tok: str) -> int:
+    data = tok.encode()[:16].ljust(16, b"\x00")
+    h = 0xCBF29CE484222325
+    for w in (int.from_bytes(data[0:8], "little"),
+              int.from_bytes(data[8:16], "little")):
+        h = ((h ^ w) * 0x100000001B3) & _M64
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & _M64
+    return h ^ (h >> 31)
+
+
+def _ref_simhash(text: str) -> int:
+    hs = [_ref_token_hash(t) for t in text.split(" ") if t != ""]
+    out = 0
+    for i in range(64):
+        s = sum(1 if (h >> i) & 1 else -1 for h in hs)
+        if s > 0:
+            out |= 1 << i
+    return out
+
+
+def _ref_fingerprint(text: str, base: int = 1000003) -> int:
+    acc, p = 0, 1
+    for t in text.split(" "):
+        if t == "":
+            continue
+        acc = (acc + _ref_token_hash(t) * p) & _M64
+        p = (p * base) & _M64
+    return acc
+
+
+def _check_sample(sf_dir: str):
+    import pyarrow.compute as pc
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], _CHECK_N)),
+        batch_format="pyarrow")
+
+
+def simhash_check(sf_dir: str):
+    """Cross-implementation check for the simhash pipeline: the REAL
+    vectorized stage runs over the doc_id<200 sample and is compared
+    against the independent pure-Python reimplementation above; the
+    oracle pins n_agree == n_checked, so any divergence hash-fails."""
+    sub = _check_sample(sf_dir)
+    fast = sub.map_batches(textstats.simhash_stage,
+                           batch_format="pyarrow").to_pandas()
+    texts = sub.to_pandas()
+    ref = {int(r.doc_id): _ref_simhash(r.text) for r in texts.itertuples()}
+    agree = int(sum(ref[int(d)] == int(s)
+                    for d, s in zip(fast["doc_id"], fast["simhash"])))
+    return pd.DataFrame({"n_checked": [len(fast)], "n_agree": [agree]})
+
+
+def fingerprint_check(sf_dir: str):
+    """Same cross-check for the Karp-Rabin fingerprint pipeline."""
+    sub = _check_sample(sf_dir)
+    fast = sub.map_batches(textstats.fingerprints,
+                           batch_format="pyarrow").to_pandas()
+    texts = sub.to_pandas()
+    ref = {int(r.doc_id): _ref_fingerprint(r.text)
+           for r in texts.itertuples()}
+    agree = int(sum(ref[int(d)] == int(f)
+                    for d, f in zip(fast["doc_id"], fast["fingerprint"])))
+    return pd.DataFrame({"n_checked": [len(fast)], "n_agree": [agree]})
+
+
 def _first_embedding(ds):
     """Embedding row with the min vec_id — Min aggregate + pushdown
     filter, NOT a full sort (``sort().limit(1)`` shuffles everything
@@ -257,13 +345,19 @@ def embedding_topk(sf_dir: str):
 
 
 def embedding_topk_ivf(sf_dir: str):
-    """IVF-bucketed ANN top-10 (rows-only: approximate by design; the
-    scale path for similarity search — probes nprobe of n_clusters)."""
+    """IVF-bucketed ANN top-10, now ORACLE-CHECKED against the same
+    brute-force SQL as ``embedding_topk``: the testdata embeddings are
+    near-orthogonal, so kmeans clusters are weak and nprobe=10/16 is
+    the empirically-minimal probe width with exhaustive recall on these
+    inputs (verified at sf0.001 and sf0.01) — the hash compare then
+    gates the whole IVF path (centroids, assignment, probe pruning,
+    tie-safe merge).  The production default (nprobe≪n_clusters) stays
+    approximate and is recall-gated by ``test_ivf_topk_recall``."""
     from probly_search_ray.stages.similarity import ivf_topk
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = ray.data.read_parquet(path)
     q = _first_embedding(ds)
-    df = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=8)
+    df = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=10)
     return df[df["query_idx"] == 0][["vec_id", "cosine"]].reset_index(drop=True)
 
 
@@ -537,6 +631,7 @@ QUERIES = {
     "bulk_bm25": bulk_bm25,
     "zero_to_one_search": zero_to_one_search,
     "zero_to_one_exact": zero_to_one_exact,
+    "zero_to_one_multi": zero_to_one_multi,
     "dedup_exact": dedup_exact_survivors,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -546,6 +641,8 @@ QUERIES = {
     "lang_dist": lang_dist,
     "fingerprints": fingerprints,
     "simhash": simhash,
+    "simhash_check": simhash_check,
+    "fingerprint_check": fingerprint_check,
     "embedding_topk": embedding_topk,
     "embedding_topk_ivf": embedding_topk_ivf,
     "embedding_near_dups": embedding_near_dups,
@@ -780,6 +877,18 @@ ORACLES = {
         FROM embeddings
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
+    # IVF with exhaustive-recall probe width on these inputs == brute
+    "embedding_topk_ivf": """
+        WITH q AS (
+          SELECT embedding AS qe FROM embeddings
+          ORDER BY vec_id LIMIT 1
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding, (SELECT qe FROM q)), 6)
+                 AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
     "events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS window_start,
                count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
@@ -836,6 +945,27 @@ ORACLES = {
         SELECT h.doc_id,
                round(1.0 / greatest(dl.len, 1), 6) AS score
         FROM hit h JOIN dl ON h.doc_id = dl.doc_id
+    """,
+    # cross-impl agreement pinned at 100% of the sample: the Ray side
+    # compares the vectorized stage against an independent pure-Python
+    # reimplementation — a bug in either breaks the value hash
+    "simhash_check": f"""
+        SELECT count(*)::BIGINT AS n_checked, count(*)::BIGINT AS n_agree
+        FROM documents WHERE doc_id < {_CHECK_N}
+    """,
+    "fingerprint_check": f"""
+        SELECT count(*)::BIGINT AS n_checked, count(*)::BIGINT AS n_agree
+        FROM documents WHERE doc_id < {_CHECK_N}
+    """,
+    "zero_to_one_multi": f"""
+        WITH dl AS (SELECT doc_id, len({_TOK}) AS len FROM documents),
+        hits AS (SELECT doc_id, count(DISTINCT t)::DOUBLE AS m FROM
+                   (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+                 WHERE t IN ('table', 'merge', 'stream')
+                 GROUP BY doc_id)
+        SELECT h.doc_id,
+               round(h.m / greatest(dl.len, 3), 6) AS score
+        FROM hits h JOIN dl ON h.doc_id = dl.doc_id
     """,
     "props_k_stats": """
         SELECT event_type, count(*)::BIGINT AS n,

@@ -126,6 +126,8 @@ class ShardData:
         self.p_docs: np.ndarray = np.empty(0, np.uint64)
         self.p_tf: list[np.ndarray] = [np.empty(0, np.uint32)] * F
         self.p_len: list[np.ndarray] = [np.empty(0, np.uint32)] * F
+        self.tf_max: list[np.ndarray] = [np.empty(0, np.uint32)] * F
+        self.len_min: list[np.ndarray] = [np.empty(0, np.uint32)] * F
         if not tables:
             return
         full = pa.concat_tables(tables).sort_by(
@@ -144,6 +146,7 @@ class ShardData:
         import json as _json
         from probly_search_ray.functions.codec import FORMAT_VERSION
         sig_src = _json.dumps([
+            2,  # cache layout version (v2: + per-term impact bounds)
             FORMAT_VERSION,
             [(r["group"], r["path"], r["rows"]) for r in man.term_files()],
         ], sort_keys=True)
@@ -154,35 +157,10 @@ class ShardData:
     _CACHE_ARRAYS = ("df", "first_pos", "post_off", "p_docs")
 
     def _write_cache(self, cdir: str) -> None:
-        import shutil
-        import tempfile
-        try:
-            parent = os.path.dirname(cdir)
-            os.makedirs(parent, exist_ok=True)
-            # GC caches for the same range but stale manifest states
-            prefix = os.path.basename(cdir).rsplit("-", 1)[0] + "-"
-            for d in os.listdir(parent):
-                if d.startswith(prefix) and \
-                        os.path.join(parent, d) != cdir:
-                    shutil.rmtree(os.path.join(parent, d),
-                                  ignore_errors=True)
-            tmp = tempfile.mkdtemp(dir=parent)
-            for name in self._CACHE_ARRAYS:
-                np.save(os.path.join(tmp, name + ".npy"),
-                        getattr(self, name))
-            for f in range(self.num_fields):
-                np.save(os.path.join(tmp, f"p_tf_{f}.npy"), self.p_tf[f])
-                np.save(os.path.join(tmp, f"p_len_{f}.npy"), self.p_len[f])
-            # length-prefixed utf8 (terms may contain any byte but NUL)
-            enc = [t.encode() for t in self.terms]
-            np.save(os.path.join(tmp, "term_lens.npy"),
-                    np.asarray([len(e) for e in enc], dtype=np.int64))
-            with open(os.path.join(tmp, "terms.bin"), "wb") as fh:
-                fh.write(b"".join(enc))
-            os.replace(tmp, cdir) if not os.path.exists(cdir) else \
-                shutil.rmtree(tmp)
-        except OSError:
-            pass  # cache is best-effort (read-only index dir etc.)
+        _write_cache_arrays(cdir, self.num_fields, self.terms, self.df,
+                            self.first_pos, self.post_off, self.p_docs,
+                            self.p_tf, self.p_len, self.tf_max,
+                            self.len_min)
 
     def _load_from_cache(self, cdir: str, slice_range=None) -> bool:
         if not os.path.isdir(cdir):
@@ -203,10 +181,14 @@ class ShardData:
             self.p_len = [np.load(os.path.join(cdir, f"p_len_{f}.npy"),
                                   mmap_mode="r")
                           for f in range(self.num_fields)]
-            # small metadata arrays are hot — materialize them
+            # small (per-term) metadata arrays are hot — materialize them
             self.terms = terms
             self.df = np.array(self.df)
             self.first_pos = np.array(self.first_pos)
+            self.tf_max = [np.load(os.path.join(cdir, f"tf_max_{f}.npy"))
+                           for f in range(self.num_fields)]
+            self.len_min = [np.load(os.path.join(cdir, f"len_min_{f}.npy"))
+                            for f in range(self.num_fields)]
             post_off = np.array(self.post_off)
             if slice_range is not None:
                 lo, hi = slice_range
@@ -217,6 +199,8 @@ class ShardData:
                 self.terms = terms[i0:i1]
                 self.df = self.df[i0:i1]
                 self.first_pos = self.first_pos[i0:i1]
+                self.tf_max = [t[i0:i1] for t in self.tf_max]
+                self.len_min = [l[i0:i1] for l in self.len_min]
                 post_off = post_off[i0:i1 + 1] - p0
                 self.p_docs = self.p_docs[p0:p1]
                 self.p_tf = [t[p0:p1] for t in self.p_tf]
@@ -346,6 +330,22 @@ class ShardData:
                 self.p_docs = self.p_docs[order]
                 self.p_tf = [t[order] for t in self.p_tf]
                 self.p_len = [l[order] for l in self.p_len]
+        self._compute_bounds()
+
+    def _compute_bounds(self) -> None:
+        """Per-term impact-bound inputs: max tf and min field length over
+        each term's postings (tf_norm is increasing in tf, decreasing in
+        len, so these give the tightest per-term BM25 upper bound)."""
+        F = self.num_fields
+        seg = self.post_off[:-1]
+        if len(self.terms) == 0:
+            self.tf_max = [np.empty(0, np.uint32)] * F
+            self.len_min = [np.empty(0, np.uint32)] * F
+            return
+        self.tf_max = [np.maximum.reduceat(self.p_tf[f], seg)
+                       .astype(np.uint32) for f in range(F)]
+        self.len_min = [np.minimum.reduceat(self.p_len[f], seg)
+                        .astype(np.uint32) for f in range(F)]
 
     # -- dictionary --------------------------------------------------------
 
@@ -399,7 +399,8 @@ class ShardData:
                          avgs, k1: float, b: float, tomb: np.ndarray,
                          keep_nonpositive: bool = False,
                          topk: int | None = None,
-                         floor: float = -np.inf):
+                         floor: float = -np.inf,
+                         only_docs: np.ndarray | None = None):
         """Vectorized BM25 over ALL requested terms' posting lists in one
         pass (``src/score/default/bm25.rs:60-93``): gather the CSR
         slices, concatenate, score the whole concatenation with numpy —
@@ -427,6 +428,11 @@ class ShardData:
         docs = self.p_docs[gidx]
         coef = np.repeat(np.asarray(idf_boosts, dtype=np.float64)[present],
                          seg_n)
+        if only_docs is not None and len(docs):
+            # TAAT suffix restriction: remaining terms can only rescore
+            # docs already in the accumulator (sorted broadcast array)
+            m = _in_sorted(docs, only_docs)
+            gidx, ranks, docs, coef = gidx[m], ranks[m], docs[m], coef[m]
         s = np.zeros(len(docs), dtype=np.float64)
         for x in range(self.num_fields):
             tf = self.p_tf[x][gidx]
@@ -471,6 +477,18 @@ class ShardData:
     def df_adjusted_many(self, terms: list[str], tomb: np.ndarray) -> list[int]:
         return [self.df_adjusted(t, tomb) for t in terms]
 
+    def bounds_many(self, terms: list[str]):
+        """Per-term impact-bound inputs (tf_max[F], len_min[F]) or None
+        for absent terms — the coordinator turns these into BM25 score
+        upper bounds for top-k pruning."""
+        out = []
+        for t in terms:
+            i = self._term_index(t)
+            out.append(None if i < 0 else
+                       ([int(x[i]) for x in self.tf_max],
+                        [int(x[i]) for x in self.len_min]))
+        return out
+
     def gather_postings_many(self, terms: list[str], tomb: np.ndarray):
         return [(i, self.gather_postings(t, tomb))
                 for i, t in enumerate(terms)]
@@ -487,6 +505,131 @@ class ShardData:
             tfs = [t[keep] for t in tfs]
             lens = [l[keep] for l in lens]
         return docs, tfs, lens
+
+
+def _write_cache_arrays(cdir: str, num_fields: int, terms, df, first_pos,
+                        post_off, p_docs, p_tf, p_len, tf_max,
+                        len_min) -> None:
+    """Persist decoded-CSR arrays as the mmap cache dir (atomic rename;
+    best-effort — a read-only index dir just skips caching)."""
+    import shutil
+    import tempfile
+    try:
+        parent = os.path.dirname(cdir)
+        os.makedirs(parent, exist_ok=True)
+        # GC caches for the same range but stale manifest states
+        prefix = os.path.basename(cdir).rsplit("-", 1)[0] + "-"
+        for d in os.listdir(parent):
+            if d.startswith(prefix) and os.path.join(parent, d) != cdir:
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        tmp = tempfile.mkdtemp(dir=parent)
+        for name, arr in zip(ShardData._CACHE_ARRAYS,
+                             (df, first_pos, post_off, p_docs)):
+            np.save(os.path.join(tmp, name + ".npy"), arr)
+        for f in range(num_fields):
+            np.save(os.path.join(tmp, f"p_tf_{f}.npy"), p_tf[f])
+            np.save(os.path.join(tmp, f"p_len_{f}.npy"), p_len[f])
+            np.save(os.path.join(tmp, f"tf_max_{f}.npy"), tf_max[f])
+            np.save(os.path.join(tmp, f"len_min_{f}.npy"), len_min[f])
+        # length-prefixed utf8 (terms may contain any byte but NUL)
+        enc = [t.encode() for t in terms]
+        np.save(os.path.join(tmp, "term_lens.npy"),
+                np.asarray([len(e) for e in enc], dtype=np.int64))
+        with open(os.path.join(tmp, "terms.bin"), "wb") as fh:
+            fh.write(b"".join(enc))
+        os.replace(tmp, cdir) if not os.path.exists(cdir) else \
+            shutil.rmtree(tmp)
+    except OSError:
+        pass
+
+
+def _decode_term_file(path: str, F: int):
+    """Decode ONE term-sorted parquet shard file into partial CSR arrays
+    (runs as a Ray task in the parallel cache build)."""
+    from probly_search_ray.functions.mem import tune_allocator
+    from probly_search_ray.stages.segment import SEGMENT_SCHEMA
+    tune_allocator()
+    t = pads.dataset(path).to_table(
+        filter=pads.field("term") != "",
+        columns=["term", "doc_lo", "df", "first_pos", "blob"])
+    if not len(t):
+        return None
+    want = pa.schema([SEGMENT_SCHEMA.field(n) for n in t.column_names])
+    sd = ShardData.__new__(ShardData)
+    sd.num_fields = F
+    sd._load_csr(t.cast(want), F)  # file rows are (term, doc_lo)-sorted
+    return (sd.terms, sd.df, sd.first_pos, np.diff(sd.post_off),
+            sd.p_docs, sd.p_tf, sd.p_len, sd.tf_max, sd.len_min)
+
+
+def build_csr_cache(index_dir: str) -> bool:
+    """Build the FULL-RANGE decoded-CSR mmap cache with one Ray task per
+    term file, merged on the driver — so the first serving engine after
+    a fresh build starts from the cache instead of paying a cold
+    single-process varint decode of the whole index (minutes at 10⁶+
+    docs on this host).  Any shard layout slices this full-range cache.
+
+    Falls back to the in-process ``ShardData`` load (which also writes
+    the cache) when the per-file term ranges interleave (multiple
+    un-compacted build groups) — per-file decodes can't be concatenated
+    into a sorted dictionary then.  Returns True when a cache exists on
+    exit."""
+    import ray
+
+    man = Manifest(index_dir)
+    if not man.data["config"]:
+        return False
+    F = man.data["config"]["num_fields"]
+    cdir = ShardData._cache_path(index_dir, man, None, None)
+    if os.path.isdir(cdir):
+        return True
+    recs = sorted(man.term_files(),
+                  key=lambda r: (r["term_min"] or "", r["path"]))
+    if not recs:
+        return False
+    task = ray.remote(num_cpus=1)(_decode_term_file)
+    parts = ray.get([task.remote(os.path.join(index_dir, r["path"]), F)
+                     for r in recs])
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return False
+    terms = np.asarray([t for p in parts for t in p[0]], dtype=object)
+    if len(terms) > 1 and not (terms[1:] >= terms[:-1]).all():
+        ShardData(index_dir)  # interleaved groups: sorted in-proc load
+        return os.path.isdir(cdir)
+    df = np.concatenate([p[1] for p in parts])
+    fp = np.concatenate([p[2] for p in parts])
+    cnt = np.concatenate([p[3] for p in parts])
+    p_docs = np.concatenate([p[4] for p in parts])
+    p_tf = [np.concatenate([p[5][f] for p in parts]) for f in range(F)]
+    p_len = [np.concatenate([p[6][f] for p in parts]) for f in range(F)]
+    tfm = [np.concatenate([p[7][f] for p in parts]) for f in range(F)]
+    lmn = [np.concatenate([p[8][f] for p in parts]) for f in range(F)]
+    # merge terms straddling file boundaries (runs of equal terms):
+    # df sums, first_pos mins, postings already doc_lo-ordered per run
+    new = np.ones(len(terms), dtype=bool)
+    new[1:] = terms[1:] != terms[:-1]
+    runs = np.flatnonzero(new)
+    terms_m = [str(t) for t in terms[runs]]
+    df_m = np.add.reduceat(df, runs)
+    fp_m = np.minimum.reduceat(fp, runs)
+    cnt_m = np.add.reduceat(cnt, runs)
+    tfm_m = [np.maximum.reduceat(t, runs).astype(np.uint32) for t in tfm]
+    lmn_m = [np.minimum.reduceat(l, runs).astype(np.uint32) for l in lmn]
+    post_off = np.concatenate(([0], np.cumsum(cnt_m))).astype(np.int64)
+    # hashed string keys: doc ranges can interleave across files within
+    # a merged term — same segmented re-sort as the in-proc loader
+    if len(p_docs) > 1:
+        tid = np.repeat(np.arange(len(cnt_m)), cnt_m)
+        bad = p_docs[1:] < p_docs[:-1]
+        if bad.any() and (tid[:-1][bad] == tid[1:][bad]).any():
+            order = np.lexsort((p_docs, tid))
+            p_docs = p_docs[order]
+            p_tf = [t[order] for t in p_tf]
+            p_len = [l[order] for l in p_len]
+    _write_cache_arrays(cdir, F, terms_m, df_m, fp_m, post_off,
+                        p_docs, p_tf, p_len, tfm_m, lmn_m)
+    return os.path.isdir(cdir)
 
 
 def _merge_max(d1, s1, d2, s2):
@@ -739,13 +882,13 @@ class SearchEngine:
                 if d > 0:
                     all_exp.append((term, d, 0))
         if not all_exp:
-            return [], {}
+            return [], {}, {}
         ordered = trie_expansion_order(all_exp, term) if expand \
             else [t for t, _, _ in all_exp]
         # adjusted df (only needs decode when tombstones exist)
         df_map = {}
+        terms_list = [t for t, _, _ in all_exp]
         if len(self.tomb):
-            terms_list = [t for t, _, _ in all_exp]
             per_shard = self._call("df_adjusted_many", terms_list, self.tomb)
             for lst in per_shard:
                 for t, d in zip(terms_list, lst):
@@ -755,7 +898,13 @@ class SearchEngine:
             for t, raw_df, _ in all_exp:
                 df_map[t] = raw_df
         ordered = [t for t in ordered if df_map.get(t, 0) > 0]
-        return ordered, df_map
+        # impact bounds (tf_max/len_min; a term lives in one shard)
+        bnd_map = {}
+        for lst in self._call("bounds_many", terms_list):
+            for t, bnd in zip(terms_list, lst):
+                if bnd is not None:
+                    bnd_map[t] = bnd
+        return ordered, df_map, bnd_map
 
     def _owner_shard(self, term: str):
         # shards have disjoint term ranges; find by probing expand on the
@@ -768,19 +917,30 @@ class SearchEngine:
                 return shard
         return self.shards[0]
 
+    @staticmethod
+    def _score_ub(bnd, idf_boost, fields_boost, avgs, k1, b) -> float:
+        """Upper bound on any posting's BM25 score for one expansion:
+        tf_norm is increasing in tf and decreasing in field length, so
+        tf_norm(tf_max, len_min) bounds every posting per field."""
+        if bnd is None:
+            return 0.0
+        tfm, lmn = bnd
+        s = 0.0
+        for f, bb in enumerate(fields_boost):
+            if bb == 0.0 or tfm[f] == 0 or avgs[f] <= 0.0:
+                continue
+            tf = float(tfm[f])
+            s += bb * ((k1 + 1.0) * tf) / (
+                k1 * ((1.0 - b) + b * (lmn[f] / avgs[f])) + tf)
+        return s * idf_boost
+
     def _query_bm25(self, query_terms, fields_boost, n_docs, avgs, k1, b,
                     expand, k=None):
-        nonempty = [t for t in query_terms if t != ""]
-        # Exact top-k pruning is valid only for single-term queries where
-        # the merge is a pure per-doc max over expansions (prev is always
-        # None, so expansion order cannot affect scores).
-        prune = k is not None and len(nonempty) == 1
-        g_docs = np.empty(0, dtype=np.uint64)
-        g_scores = np.empty(0, dtype=np.float64)
+        term_infos = []
         for term in query_terms:
             if term == "":
                 continue
-            ordered, df_map = self._expansions_for(term, expand)
+            ordered, df_map, bnd_map = self._expansions_for(term, expand)
             if not ordered:
                 continue
             idf_boosts = []
@@ -795,13 +955,32 @@ class SearchEngine:
                     boost = math.log(1.0 + 1.0 / (
                         1.0 + len(e.encode()) - len(term.encode())))
                 idf_boosts.append(idf * boost)
+            term_infos.append((term, ordered, idf_boosts, bnd_map))
+        # Exact top-k pruning is valid only when ONE query term
+        # contributes postings: the merge is then a pure per-doc max
+        # over expansions (prev is always None, so expansion order
+        # cannot affect scores).
+        prune = k is not None and len(term_infos) == 1
+        # per-term score upper bounds for the multi-term TAAT suffix
+        # restriction (only needed when a top-k is requested)
+        term_ubs = None
+        if k is not None and len(term_infos) > 1:
+            term_ubs = [max(self._score_ub(bnd_map.get(e), ib, fields_boost,
+                                           avgs, k1, b)
+                            for e, ib in zip(ordered, idf_boosts))
+                        for _, ordered, idf_boosts, bnd_map in term_infos]
+        g_docs = np.empty(0, dtype=np.uint64)
+        g_scores = np.empty(0, dtype=np.float64)
+        only_docs = None
+        for ti, (term, ordered, idf_boosts, bnd_map) in enumerate(term_infos):
             if prune:
                 # process expansions in descending score upper bound;
-                # stop when the bound can no longer enter the top-k.
-                # ub(e) = idf·boost · Σ_f boost_f · (k1+1)  (tf_norm < k1+1)
-                ub_coef = sum(fields_boost) * (k1 + 1.0)
+                # stop when the bound can no longer enter the top-k
+                ub_each = [self._score_ub(bnd_map.get(e), idf_boosts[i],
+                                          fields_boost, avgs, k1, b)
+                           for i, e in enumerate(ordered)]
                 order_ub = sorted(range(len(ordered)),
-                                  key=lambda i: -idf_boosts[i])
+                                  key=lambda i: -ub_each[i])
                 # chunks double each round: tight early cutoff when hot
                 # terms can be pruned, few RPC rounds when they can't
                 CHUNK = 64
@@ -813,7 +992,7 @@ class SearchEngine:
                     else:
                         kth = -np.inf
                     chunk = [i for i in order_ub[pos:pos + CHUNK]
-                             if idf_boosts[i] * ub_coef > kth]
+                             if ub_each[i] > kth]
                     if not chunk:
                         break
                     terms_c = [ordered[i] for i in chunk]
@@ -837,13 +1016,24 @@ class SearchEngine:
                     pos += CHUNK
                     CHUNK *= 2
                 break
+            if term_ubs is not None and only_docs is None \
+                    and ti > 0 and len(g_scores) >= k:
+                # docs outside the accumulator can gain at most the sum
+                # of the remaining terms' bounds; strictly below the
+                # running kth they can neither enter nor tie the top-k,
+                # so the remaining terms only rescore accumulator docs
+                kth = np.partition(g_scores, len(g_scores) - k)[
+                    len(g_scores) - k]
+                if sum(term_ubs[ti:]) < kth:
+                    only_docs = g_docs.copy()
             # ONE batched call per shard for all expansions of this term.
             # keep_nonpositive: docs whose score would be None in the
             # reference are still *visited* (src/query.rs:88), so the
             # truly-first expansion containing a doc defines s_first even
             # when it scores <= 0 (observable with a 0 in fields_boost).
             per_shard = self._call("score_bm25_batch", ordered, idf_boosts,
-                                   fields_boost, avgs, k1, b, self.tomb, True)
+                                   fields_boost, avgs, k1, b, self.tomb,
+                                   True, None, -np.inf, only_docs)
             rp = [r for r, _, _ in per_shard if len(r)]
             if not rp:
                 continue
@@ -918,7 +1108,7 @@ class SearchEngine:
         for qti, term in enumerate(query_terms):
             if term == "":
                 continue
-            ordered, df_map = self._expansions_for(term, expand)
+            ordered, df_map, _ = self._expansions_for(term, expand)
             visited: set[int] = set()
             per_shard = self._call("gather_postings_many", ordered, self.tomb)
             by_rank = {}
@@ -976,7 +1166,7 @@ class SearchEngine:
         for qti, term in enumerate(query_terms):
             if term == "":
                 continue
-            ordered, df_map = self._expansions_for(term, expand)
+            ordered, df_map, _ = self._expansions_for(term, expand)
             tl = float(len(term.encode()))
             per_shard = self._call("gather_postings_many", ordered, self.tomb)
             flat = [(i, p) for lst in per_shard for i, p in lst if p is not None]
@@ -1020,37 +1210,54 @@ class SearchEngine:
         doc, fld, sc = doc[order], fld[order], sc[order]
         qti_a, uid_a, tf_a, fl_a = (qti_a[order], uid_a[order],
                                     tf_a[order], fl_a[order])
-        # group boundaries per (doc, field)
+        # group boundaries per (doc, field); records within a group are
+        # already in the reference walk order (score desc, seq asc)
         newgrp = np.concatenate(
             ([True], (doc[1:] != doc[:-1]) | (fld[1:] != fld[:-1])))
         starts = np.flatnonzero(newgrp)
         ends = np.concatenate((starts[1:], [len(doc)]))
-        scores: dict[int, float] = {}
-        if len(np.unique(qti_a)) == 1:
-            # single query term: each (doc, field) pool consumes exactly
-            # its FIRST record (the qti is consumed immediately), so the
-            # whole pool walk vectorizes: field score = first record's
-            # value, doc score = max over fields.
-            tf0 = tf_a[starts].astype(np.float64)
-            v = np.minimum(sc[starts] / tf0, 1.0) * tf0 / np.maximum(
-                fl_a[starts], qlen).astype(np.float64)
-            d0 = doc[starts]
-            o = np.argsort(d0, kind="stable")
-            d_s, v_s = d0[o], v[o]
-            st2 = np.flatnonzero(np.concatenate(
-                ([True], d_s[1:] != d_s[:-1])))
-            dmax = np.maximum.reduceat(v_s, st2)
-            scores = dict(zip((int(x) for x in d_s[st2]),
-                              (float(x) for x in dmax)))
-            return [(int(d), scores.get(int(d), 0.0)) for d in candidates]
-        for s0, s1 in zip(starts, ends):
-            d = int(doc[s0])
+        n = len(doc)
+        gid = (np.cumsum(newgrp) - 1).astype(np.int64)
+        ngroups = len(starts)
+        # Vectorized pool walk.  The greedy walk consumes the FIRST
+        # record of each (group, qti) in walk order — UNLESS the node
+        # pool is exhausted when that record arrives, which can only
+        # happen if the ignore-pool selection would consume more records
+        # of one (group, node) than its tf.  So: select ignoring the
+        # pool, then detect violating groups and replay only those with
+        # the exact per-record loop (rare: needs the same expansion term
+        # under enough distinct query terms to out-count its tf).
+        o2 = np.lexsort((np.arange(n, dtype=np.int64), qti_a, gid))
+        g2, q2 = gid[o2], qti_a[o2]
+        first = np.ones(n, dtype=bool)
+        first[1:] = (g2[1:] != g2[:-1]) | (q2[1:] != q2[:-1])
+        consumed = np.zeros(n, dtype=bool)
+        consumed[o2[first]] = True
+        ci = np.flatnonzero(consumed)
+        o3 = np.lexsort((ci, uid_a[ci], gid[ci]))
+        gc_, uc_, tfc = gid[ci][o3], uid_a[ci][o3], tf_a[ci][o3]
+        newrun = np.ones(len(ci), dtype=bool)
+        newrun[1:] = (gc_[1:] != gc_[:-1]) | (uc_[1:] != uc_[:-1])
+        runs = np.flatnonzero(newrun)
+        runlen = np.diff(np.append(runs, len(ci)))
+        bad_groups = np.unique(gc_[runs[runlen > tfc[runs]]])
+        good = consumed
+        if len(bad_groups):
+            good = consumed & ~np.isin(gid, bad_groups)
+        tf_f = tf_a.astype(np.float64)
+        contrib = np.minimum(sc / tf_f, 1.0) * tf_f \
+            / np.maximum(fl_a, qlen).astype(np.float64)
+        # bincount returns int64 for EMPTY weighted input — cast, or the
+        # replay assignments below silently truncate to integers
+        acc = np.bincount(gid[good], weights=contrib[good],
+                          minlength=ngroups).astype(np.float64)
+        for g in bad_groups:  # exact replay of the reference walk
             pool: dict[int, int] = {}
-            consumed: set[int] = set()
-            acc = 0.0
-            for i in range(s0, s1):
+            consumed_q: set[int] = set()
+            accv = 0.0
+            for i in range(starts[g], ends[g]):
                 q = int(qti_a[i])
-                if q in consumed:
+                if q in consumed_q:
                     continue
                 nid = int(uid_a[i])
                 if nid in pool:
@@ -1058,11 +1265,17 @@ class SearchEngine:
                         continue
                     pool[nid] -= 1
                 else:
-                    pool[nid] = tf_a[i] - 1
-                consumed.add(q)
-                df = float(tf_a[i])
-                acc += min(sc[i] / df, 1.0) * tf_a[i] / float(
+                    pool[nid] = int(tf_a[i]) - 1
+                consumed_q.add(q)
+                accv += min(sc[i] / tf_a[i], 1.0) * tf_a[i] / float(
                     max(fl_a[i], qlen))
-            prev = scores.get(d, 0.0)
-            scores[d] = max(acc, prev)
+            acc[g] = accv
+        # doc score = max over its (doc, field) pools
+        d0 = doc[starts]
+        o = np.argsort(d0, kind="stable")
+        d_s, v_s = d0[o], acc[o]
+        st2 = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        dmax = np.maximum.reduceat(v_s, st2)
+        scores = dict(zip((int(x) for x in d_s[st2]),
+                          (float(x) for x in dmax)))
         return [(int(d), scores.get(int(d), 0.0)) for d in candidates]

@@ -72,12 +72,48 @@ def _files(index_dir: str) -> list[str]:
 
 
 def check_collisions(index_dir: str, key_col: str) -> pd.DataFrame:
-    """doc_ids claimed by >1 distinct key (expected empty).  One
-    C-level groupby over the sidecar."""
-    t = pads.dataset(_files(index_dir)).to_table().to_pandas()
-    g = t.groupby("doc_id")[key_col].nunique()
-    bad = g[g > 1]
-    return t[t["doc_id"].isin(bad.index)]
+    """doc_ids claimed by >1 distinct key (expected empty) — a
+    DISTRIBUTED check: the sidecar streams through one Ray groupby.
+    Distinctness of keys within a doc_id group is detected by comparing
+    Min/Max of an independent second key hash (a true collision with a
+    matching second hash has probability ~2⁻⁶⁴ per pair and the final
+    pushdown re-read verifies the tiny suspect set exactly); the driver
+    holds only the suspect rows."""
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    files = _files(index_dir)
+    empty = pd.DataFrame({key_col: pd.Series(dtype=object),
+                          "doc_id": pd.Series(dtype=np.uint64)})
+    if not files:
+        return empty
+
+    def add_h2(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        h2 = pd.util.hash_array(np.asarray(keys, dtype=object),
+                                hash_key="psr_keymap_lane_2")
+        return pa.table({"doc_id": b["doc_id"],
+                         "h2": pa.array(h2.view(np.int64))})
+
+    agg = ray.data.read_parquet(files) \
+        .map_batches(add_h2, batch_format="pyarrow") \
+        .groupby("doc_id") \
+        .aggregate(Min("h2", alias_name="h2_min"),
+                   Max("h2", alias_name="h2_max"))
+
+    def suspects(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.not_equal(b["h2_min"], b["h2_max"])) \
+                .select(["doc_id"])
+
+    bad = agg.map_batches(suspects, batch_format="pyarrow").to_pandas()
+    if not len(bad):
+        return empty
+    ids_arr = pa.array(bad["doc_id"].to_numpy())
+    t = pads.dataset(files).to_table(
+        filter=pads.field("doc_id").isin(ids_arr)).to_pandas()
+    g = t.groupby("doc_id")[key_col].nunique()   # exact verify, tiny set
+    return t[t["doc_id"].isin(g[g > 1].index)]
 
 
 def urls_for(index_dir: str, doc_ids, key_col: str = "url") -> dict[int, str]:

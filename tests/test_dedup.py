@@ -60,3 +60,34 @@ def test_near_dup_pairs_planted(docs_ds):
              zip(pairs["a"], pairs["b"], pairs["jaccard"]))
     assert j[(0, 100)] == 1.0
     assert 0.5 <= j[(2, 200)] < 1.0
+
+
+def test_near_dup_pairs_many_candidates(ray_session):
+    """Distributed verify at scale: >=10^4 planted candidate pairs flow
+    through the broadcast-membership + count-aggregate verify (no
+    driver shingle dict); recall must be exact."""
+    rng = np.random.default_rng(11)
+    n_base = 10_500
+    vocab = np.array([f"tok{i}" for i in range(5000)])
+    base = [" ".join(rng.choice(vocab, size=30)) for _ in range(n_base)]
+    ids, texts = [], []
+    for i, t in enumerate(base):
+        ids.append(i)
+        texts.append(t)
+        # near-dup: one token changed out of 30 → jaccard ≈ 25/31 ≈ 0.8
+        toks = t.split(" ")
+        toks[7] = "zz" + str(i)
+        ids.append(100_000 + i)
+        texts.append(" ".join(toks))
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": ids, "text": texts})).repartition(16)
+    pairs = near_dup_pairs(ds, threshold=0.6, bands=64)
+    got = set(zip(pairs["a"], pairs["b"]))
+    planted = {(i, 100_000 + i) for i in range(n_base)}
+    missing = planted - got
+    assert not missing, f"{len(missing)} planted pairs missed"
+    assert len(got) >= 10_000
+    extras = got - planted
+    # unrelated 30-token docs over a 5k vocab can't reach jaccard 0.6
+    assert not extras, list(extras)[:5]
+    assert (pairs["jaccard"] >= 0.6).all()

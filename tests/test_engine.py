@@ -281,6 +281,26 @@ def test_topk_pruning_exact(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_topk_taat_restriction_exact(tmp_path):
+    """Multi-term top-k where the TAAT suffix restriction FIRES (first
+    term's accumulator kth exceeds the remaining terms' impact bounds):
+    the restricted query must equal the unrestricted full ranking."""
+    rng = np.random.default_rng(7)
+    corpus = {}
+    for d in range(120):
+        toks = ["ba"] * int(rng.integers(3, 8))
+        if d < 20:
+            toks += ["zq"] * int(rng.integers(4, 9))
+        rng.shuffle(toks)
+        corpus[d] = (" ".join(toks),)
+    eng = build_engine(tmp_path, corpus)
+    for q in ("zq ba", "zq ba zq", "b zq"):
+        full = eng.query(q, "bm25")
+        full.sort(key=lambda r: (-r[1], r[0]))
+        assert eng.query(q, "bm25", k=5) == full[:5], q
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_csr_cache_roundtrip(tmp_path):
     """mmap'd CSR cache load == fresh decode (results and dictionary),
     and a rebuilt index invalidates the old cache via the manifest
