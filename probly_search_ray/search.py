@@ -347,6 +347,35 @@ class ShardData:
         self.len_min = [np.minimum.reduceat(self.p_len[f], seg)
                         .astype(np.uint32) for f in range(F)]
 
+    def prefault(self, warm_arena: bool = True) -> int:
+        """Serving-replica warmup: (1) touch every page of the mmap'd
+        posting arrays so gathers never pay lazy page-in; (2) pre-fault
+        an allocator arena sized to this shard's worst-case query
+        temporaries (~56 B/posting, capped) — with ``tune_allocator``'s
+        high trim threshold the freed pages stay in the arena and every
+        later numpy temporary reuses them instead of paying this host's
+        serialized first-touch cost on the first big query.  Returns
+        bytes touched."""
+        total = 0
+        for arr in [self.p_docs, *self.p_tf, *self.p_len]:
+            if len(arr):
+                # one touch per 4 KiB page faults the whole mapping
+                np.add.reduce(arr[:: max(1, 4096 // arr.itemsize)])
+            total += arr.nbytes
+        if warm_arena and len(self.p_docs):
+            want = min(int(len(self.p_docs)) * 56, 4 << 30)
+            # sub-threshold chunks so they come from (and return to) the
+            # arena, not one-shot mmaps the allocator gives back
+            chunks = []
+            left = want
+            while left > 0:
+                n = min(left, 256 << 20)
+                chunks.append(np.ones(n // 8, dtype=np.float64))
+                left -= n
+            total += want
+            del chunks
+        return total
+
     # -- dictionary --------------------------------------------------------
 
     def expand(self, prefix: str) -> list[tuple[str, int, int]]:
@@ -474,20 +503,59 @@ class ShardData:
             return np.zeros(len(d_u), np.int64), d_u, s_u
         return ranks, docs, s
 
+    def score_bm25_reduced(self, terms: list[str], idf_boosts,
+                           fields_boost, avgs, k1: float, b: float,
+                           tomb: np.ndarray, only_docs=None):
+        """Multi-term building block: like ``score_bm25_batch`` with
+        ``keep_nonpositive=True``, but REDUCED PER DOC shard-side so the
+        coordinator receives one row per touched doc instead of one per
+        (expansion, posting) — the expansion multiplicity never crosses
+        the wire.  Returns per-doc parallel arrays:
+
+          docs,  r = min expansion rank visiting the doc,
+          f = raw score of that first-visited record (sign matters:
+              <=0 is the reference's visited-with-None case),
+          p = max positive score over this shard's records,
+          q = max positive score excluding the shard-first record.
+
+        The coordinator replaces the globally-first shard's p with its
+        q, so ``rest_max`` excludes exactly the one globally-first
+        record (``src/query.rs:150-164``)."""
+        ranks, docs, s = self.score_bm25_batch(
+            terms, idf_boosts, fields_boost, avgs, k1, b, tomb,
+            keep_nonpositive=True, only_docs=only_docs)
+        if not len(docs):
+            e = np.empty(0, np.float64)
+            return (np.empty(0, np.uint64), np.empty(0, np.int64), e,
+                    e.copy(), e.copy())
+        order = np.lexsort((ranks, docs))
+        d_s, r_s, s_s = docs[order], ranks[order], s[order]
+        st = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        pos = np.where(s_s > 0.0, s_s, -np.inf)
+        p_u = np.maximum.reduceat(pos, st)
+        pos[st] = -np.inf
+        q_u = np.maximum.reduceat(pos, st)
+        return d_s[st], r_s[st], s_s[st], p_u, q_u
+
     def df_adjusted_many(self, terms: list[str], tomb: np.ndarray) -> list[int]:
         return [self.df_adjusted(t, tomb) for t in terms]
 
-    def bounds_many(self, terms: list[str]):
-        """Per-term impact-bound inputs (tf_max[F], len_min[F]) or None
-        for absent terms — the coordinator turns these into BM25 score
-        upper bounds for top-k pruning."""
-        out = []
-        for t in terms:
-            i = self._term_index(t)
-            out.append(None if i < 0 else
-                       ([int(x[i]) for x in self.tf_max],
-                        [int(x[i]) for x in self.len_min]))
-        return out
+    def bounds_arrays(self, terms: list[str]):
+        """Per-term impact-bound inputs as ARRAYS: (present bool[n],
+        tf_max (n,F), len_min (n,F)) — the coordinator turns these into
+        BM25 score upper bounds for top-k pruning.  Absent terms carry
+        zeros (present=False)."""
+        idx = np.fromiter((self._term_index(t) for t in terms),
+                          dtype=np.int64, count=len(terms))
+        present = idx >= 0
+        ic = np.maximum(idx, 0)
+        F = self.num_fields
+        tfm = np.zeros((len(terms), F), dtype=np.float64)
+        lmn = np.zeros((len(terms), F), dtype=np.float64)
+        for f in range(F):
+            tfm[:, f] = np.where(present, self.tf_max[f][ic], 0)
+            lmn[:, f] = np.where(present, self.len_min[f][ic], 0)
+        return present, tfm, lmn
 
     def gather_postings_many(self, terms: list[str], tomb: np.ndarray):
         return [(i, self.gather_postings(t, tomb))
@@ -545,7 +613,10 @@ def _write_cache_arrays(cdir: str, num_fields: int, terms, df, first_pos,
 
 def _decode_term_file(path: str, F: int):
     """Decode ONE term-sorted parquet shard file into partial CSR arrays
-    (runs as a Ray task in the parallel cache build)."""
+    (runs as a Ray task in the parallel cache build).  Returns
+    dictionary-size metadata inline; the posting-size arrays stay in
+    the OBJECT STORE (ref) so the driver never touches them."""
+    import ray
     from probly_search_ray.functions.mem import tune_allocator
     from probly_search_ray.stages.segment import SEGMENT_SCHEMA
     tune_allocator()
@@ -558,22 +629,67 @@ def _decode_term_file(path: str, F: int):
     sd = ShardData.__new__(ShardData)
     sd.num_fields = F
     sd._load_csr(t.cast(want), F)  # file rows are (term, doc_lo)-sorted
-    return (sd.terms, sd.df, sd.first_pos, np.diff(sd.post_off),
-            sd.p_docs, sd.p_tf, sd.p_len, sd.tf_max, sd.len_min)
+    cnt = np.diff(sd.post_off)
+    doc_lo = sd.p_docs[sd.post_off[:-1]] if len(cnt) else \
+        np.empty(0, np.uint64)
+    doc_hi = sd.p_docs[sd.post_off[1:] - 1] if len(cnt) else \
+        np.empty(0, np.uint64)
+    big = ray.put((sd.p_docs, sd.p_tf, sd.p_len))
+    return (sd.terms, sd.df, sd.first_pos, cnt, sd.tf_max, sd.len_min,
+            doc_lo, doc_hi, big)
+
+
+def _write_cache_slices(tmp_dir: str, F: int, big, dest_starts,
+                        counts):
+    """Phase-2 writer task: place one part's posting arrays into the
+    preallocated memmap .npy files at the destination offsets computed
+    by the driver (disjoint ranges across tasks → safe parallel
+    writes).  ``big`` arrives as an auto-dereferenced object-store
+    ref."""
+    from probly_search_ray.functions.mem import tune_allocator
+    tune_allocator()
+    p_docs, p_tf, p_len = big
+    idx = np.repeat(dest_starts, counts) + _grouped_arange(counts)
+    mm = np.load(os.path.join(tmp_dir, "p_docs.npy"), mmap_mode="r+")
+    mm[idx] = p_docs
+    del mm
+    for f in range(F):
+        mm = np.load(os.path.join(tmp_dir, f"p_tf_{f}.npy"),
+                     mmap_mode="r+")
+        mm[idx] = p_tf[f]
+        del mm
+        mm = np.load(os.path.join(tmp_dir, f"p_len_{f}.npy"),
+                     mmap_mode="r+")
+        mm[idx] = p_len[f]
+        del mm
+    return True
 
 
 def build_csr_cache(index_dir: str) -> bool:
-    """Build the FULL-RANGE decoded-CSR mmap cache with one Ray task per
-    term file, merged on the driver — so the first serving engine after
-    a fresh build starts from the cache instead of paying a cold
-    single-process varint decode of the whole index (minutes at 10⁶+
-    docs on this host).  Any shard layout slices this full-range cache.
+    """Build the FULL-RANGE decoded-CSR mmap cache fully in parallel —
+    so the first serving engine after a fresh build starts from the
+    cache instead of paying a cold single-process varint decode of the
+    whole index (minutes at 10⁶+ docs).  Any shard layout slices it.
 
-    Falls back to the in-process ``ShardData`` load (which also writes
-    the cache) when the per-file term ranges interleave (multiple
-    un-compacted build groups) — per-file decodes can't be concatenated
-    into a sorted dictionary then.  Returns True when a cache exists on
-    exit."""
+    Shape (the driver only ever touches DICTIONARY-sized data):
+      phase 1 — one Ray task per term file decodes partial CSR arrays;
+        posting-sized arrays stay in the object store, only per-term
+        metadata returns to the driver;
+      merge — the driver stable-sorts dictionary rows by (term, group)
+        (groups carry ascending doc ranges for sequential ids, so
+        appends keep this path) and computes each part's destination
+        offsets — all vocab-sized arithmetic;
+      phase 2 — writer tasks place each part's postings into
+        PREALLOCATED memmap .npy files at disjoint offsets (parallel
+        writes; the driver never materializes a posting array).
+
+    Falls back to the in-process sorted ``ShardData`` load (which also
+    writes the cache) for hashed string keys or overlapping per-term
+    doc ranges, where postings need a global re-sort.  Returns True
+    when a cache exists on exit."""
+    import shutil
+    import tempfile
+
     import ray
 
     man = Manifest(index_dir)
@@ -583,52 +699,106 @@ def build_csr_cache(index_dir: str) -> bool:
     cdir = ShardData._cache_path(index_dir, man, None, None)
     if os.path.isdir(cdir):
         return True
+    if man.data["config"].get("string_key"):
+        ShardData(index_dir)  # hashed ids interleave → needs the re-sort
+        return os.path.isdir(cdir)
     recs = sorted(man.term_files(),
                   key=lambda r: (r["term_min"] or "", r["path"]))
     if not recs:
         return False
     task = ray.remote(num_cpus=1)(_decode_term_file)
-    parts = ray.get([task.remote(os.path.join(index_dir, r["path"]), F)
-                     for r in recs])
-    parts = [p for p in parts if p is not None]
+    results = ray.get([task.remote(os.path.join(index_dir, r["path"]), F)
+                       for r in recs])
+    grank = {g: i for i, g in
+             enumerate(sorted({r["group"] for r in recs}))}
+    parts = [(p, grank[r["group"]])
+             for p, r in zip(results, recs) if p is not None]
     if not parts:
         return False
-    terms = np.asarray([t for p in parts for t in p[0]], dtype=object)
-    if len(terms) > 1 and not (terms[1:] >= terms[:-1]).all():
-        ShardData(index_dir)  # interleaved groups: sorted in-proc load
-        return os.path.isdir(cdir)
-    df = np.concatenate([p[1] for p in parts])
-    fp = np.concatenate([p[2] for p in parts])
-    cnt = np.concatenate([p[3] for p in parts])
-    p_docs = np.concatenate([p[4] for p in parts])
-    p_tf = [np.concatenate([p[5][f] for p in parts]) for f in range(F)]
-    p_len = [np.concatenate([p[6][f] for p in parts]) for f in range(F)]
-    tfm = [np.concatenate([p[7][f] for p in parts]) for f in range(F)]
-    lmn = [np.concatenate([p[8][f] for p in parts]) for f in range(F)]
-    # merge terms straddling file boundaries (runs of equal terms):
-    # df sums, first_pos mins, postings already doc_lo-ordered per run
-    new = np.ones(len(terms), dtype=bool)
-    new[1:] = terms[1:] != terms[:-1]
+    # --- dictionary-level merge (everything here is vocab-sized) -----
+    terms = np.asarray([t for p, _ in parts for t in p[0]], dtype=object)
+    nrows = len(terms)
+    df = np.concatenate([p[1] for p, _ in parts])
+    fp = np.concatenate([p[2] for p, _ in parts])
+    cnt = np.concatenate([p[3] for p, _ in parts])
+    tfm = [np.concatenate([p[4][f] for p, _ in parts]) for f in range(F)]
+    lmn = [np.concatenate([p[5][f] for p, _ in parts]) for f in range(F)]
+    doc_lo = np.concatenate([p[6] for p, _ in parts])
+    doc_hi = np.concatenate([p[7] for p, _ in parts])
+    row_g = np.concatenate([np.full(len(p[0]), g, dtype=np.int64)
+                            for p, g in parts])
+    o1 = np.argsort(row_g, kind="stable")
+    order = o1[np.argsort(terms[o1], kind="stable")]
+    t_o = terms[order]
+    lo_o, hi_o = doc_lo[order], doc_hi[order]
+    if nrows > 1:
+        same = t_o[1:] == t_o[:-1]
+        if (same & (lo_o[1:] <= hi_o[:-1])).any():
+            ShardData(index_dir)  # overlapping doc ranges: global sort
+            return os.path.isdir(cdir)
+    cnt_o = cnt[order]
+    new = np.ones(nrows, dtype=bool)
+    new[1:] = t_o[1:] != t_o[:-1]
     runs = np.flatnonzero(new)
-    terms_m = [str(t) for t in terms[runs]]
-    df_m = np.add.reduceat(df, runs)
-    fp_m = np.minimum.reduceat(fp, runs)
-    cnt_m = np.add.reduceat(cnt, runs)
-    tfm_m = [np.maximum.reduceat(t, runs).astype(np.uint32) for t in tfm]
-    lmn_m = [np.minimum.reduceat(l, runs).astype(np.uint32) for l in lmn]
+    terms_m = [str(t) for t in t_o[runs]]
+    df_m = np.add.reduceat(df[order], runs)
+    fp_m = np.minimum.reduceat(fp[order], runs)
+    cnt_m = np.add.reduceat(cnt_o, runs)
+    tfm_m = [np.maximum.reduceat(t[order], runs).astype(np.uint32)
+             for t in tfm]
+    lmn_m = [np.minimum.reduceat(l[order], runs).astype(np.uint32)
+             for l in lmn]
     post_off = np.concatenate(([0], np.cumsum(cnt_m))).astype(np.int64)
-    # hashed string keys: doc ranges can interleave across files within
-    # a merged term — same segmented re-sort as the in-proc loader
-    if len(p_docs) > 1:
-        tid = np.repeat(np.arange(len(cnt_m)), cnt_m)
-        bad = p_docs[1:] < p_docs[:-1]
-        if bad.any() and (tid[:-1][bad] == tid[1:][bad]).any():
-            order = np.lexsort((p_docs, tid))
-            p_docs = p_docs[order]
-            p_tf = [t[order] for t in p_tf]
-            p_len = [l[order] for l in p_len]
-    _write_cache_arrays(cdir, F, terms_m, df_m, fp_m, post_off,
-                        p_docs, p_tf, p_len, tfm_m, lmn_m)
+    total = int(post_off[-1])
+    # destination offset of each source row: by construction post_off
+    # follows the same (term, group) order, so it's the running count
+    dest_o = np.cumsum(cnt_o) - cnt_o
+    dest = np.empty(nrows, dtype=np.int64)
+    dest[order] = dest_o
+    # --- preallocate memmaps + phase-2 parallel slice writes ---------
+    try:
+        parent = os.path.join(index_dir, "cache")
+        os.makedirs(parent, exist_ok=True)
+        prefix = os.path.basename(cdir).rsplit("-", 1)[0] + "-"
+        for d in os.listdir(parent):
+            if d.startswith(prefix) and os.path.join(parent, d) != cdir:
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        tmp = tempfile.mkdtemp(dir=parent)
+        mm = np.lib.format.open_memmap(
+            os.path.join(tmp, "p_docs.npy"), mode="w+",
+            dtype=np.uint64, shape=(total,))
+        del mm
+        for f in range(F):
+            for name in (f"p_tf_{f}.npy", f"p_len_{f}.npy"):
+                mm = np.lib.format.open_memmap(
+                    os.path.join(tmp, name), mode="w+",
+                    dtype=np.uint32, shape=(total,))
+                del mm
+        wtask = ray.remote(num_cpus=1)(_write_cache_slices)
+        futs = []
+        row0 = 0
+        for p, _ in parts:
+            nr = len(p[0])
+            futs.append(wtask.remote(tmp, F, p[8],
+                                     dest[row0:row0 + nr],
+                                     cnt[row0:row0 + nr]))
+            row0 += nr
+        ray.get(futs)
+        np.save(os.path.join(tmp, "df.npy"), df_m)
+        np.save(os.path.join(tmp, "first_pos.npy"), fp_m)
+        np.save(os.path.join(tmp, "post_off.npy"), post_off)
+        for f in range(F):
+            np.save(os.path.join(tmp, f"tf_max_{f}.npy"), tfm_m[f])
+            np.save(os.path.join(tmp, f"len_min_{f}.npy"), lmn_m[f])
+        enc = [t.encode() for t in terms_m]
+        np.save(os.path.join(tmp, "term_lens.npy"),
+                np.asarray([len(e) for e in enc], dtype=np.int64))
+        with open(os.path.join(tmp, "terms.bin"), "wb") as fh:
+            fh.write(b"".join(enc))
+        os.replace(tmp, cdir) if not os.path.exists(cdir) else \
+            shutil.rmtree(tmp)
+    except OSError:
+        return False  # cache is best-effort (read-only dir etc.)
     return os.path.isdir(cdir)
 
 
@@ -700,14 +870,19 @@ class SearchEngine:
     ``Index::query``, ``/root/reference/src/query.rs:21-106``)."""
 
     def __init__(self, index_dir: str, num_shards: int = 1,
-                 use_actors: bool = False, shard_handles=None):
+                 use_actors: bool = False, shard_handles=None,
+                 prefault: bool = False):
         """``shard_handles``: pre-created ``ShardData`` actor handles to
         SHARE across engines (e.g. many bulk-search coordinators over
-        one resident shard pool) instead of loading the index again."""
+        one resident shard pool) instead of loading the index again.
+        ``prefault=True`` touches every posting page at startup (a
+        serving replica's warmup) so queries never pay lazy mmap
+        page-in; default off keeps engine start metadata-only."""
         self.index_dir = index_dir
         self.num_shards = num_shards
         self.use_actors = use_actors or shard_handles is not None
         self._shared_handles = shard_handles
+        self._prefault = prefault
         self._load()
 
     def _load(self):
@@ -738,9 +913,14 @@ class SearchEngine:
             self.shards = [Actor.remote(self.index_dir, lo, hi)
                            for lo, hi in bounds]
             self._ray = ray
+            if self._prefault:
+                ray.get([s.prefault.remote() for s in self.shards])
         else:
             self.shards = [ShardData(self.index_dir, lo, hi)
                            for lo, hi in bounds]
+            if self._prefault:
+                for s in self.shards:
+                    s.prefault()
 
     @staticmethod
     def _sig(man: Manifest):
@@ -882,13 +1062,13 @@ class SearchEngine:
                 if d > 0:
                     all_exp.append((term, d, 0))
         if not all_exp:
-            return [], {}, {}
+            return [], {}
         ordered = trie_expansion_order(all_exp, term) if expand \
             else [t for t, _, _ in all_exp]
         # adjusted df (only needs decode when tombstones exist)
         df_map = {}
-        terms_list = [t for t, _, _ in all_exp]
         if len(self.tomb):
+            terms_list = [t for t, _, _ in all_exp]
             per_shard = self._call("df_adjusted_many", terms_list, self.tomb)
             for lst in per_shard:
                 for t, d in zip(terms_list, lst):
@@ -898,13 +1078,28 @@ class SearchEngine:
             for t, raw_df, _ in all_exp:
                 df_map[t] = raw_df
         ordered = [t for t in ordered if df_map.get(t, 0) > 0]
-        # impact bounds (tf_max/len_min; a term lives in one shard)
-        bnd_map = {}
-        for lst in self._call("bounds_many", terms_list):
-            for t, bnd in zip(terms_list, lst):
-                if bnd is not None:
-                    bnd_map[t] = bnd
-        return ordered, df_map, bnd_map
+        return ordered, df_map
+
+    def _bounds_for(self, term: str, expand: bool, ordered: list[str]):
+        """Impact-bound matrices (tf_max, len_min — each (n, F) float64,
+        aligned to ``ordered``) for top-k pruning; fetched LAZILY (only
+        bm25 top-k queries pay the extra shard round-trip) and memoized
+        with the expansion cache.  A term lives in exactly one shard;
+        absent shards contribute zeros."""
+        key = ("__bounds__", term, expand)
+        if not len(self.tomb) and key in self._exp_cache:
+            return self._exp_cache[key]
+        per_shard = self._call("bounds_arrays", ordered)
+        tfm = np.zeros((len(ordered), self.num_fields), dtype=np.float64)
+        lmn = np.zeros((len(ordered), self.num_fields), dtype=np.float64)
+        for present, t_s, l_s in per_shard:
+            m = present
+            tfm[m] = t_s[m]
+            lmn[m] = l_s[m]
+        res = (tfm, lmn)
+        if not len(self.tomb) and len(self._exp_cache) < 65536:
+            self._exp_cache[key] = res
+        return res
 
     def _owner_shard(self, term: str):
         # shards have disjoint term ranges; find by probing expand on the
@@ -918,21 +1113,18 @@ class SearchEngine:
         return self.shards[0]
 
     @staticmethod
-    def _score_ub(bnd, idf_boost, fields_boost, avgs, k1, b) -> float:
-        """Upper bound on any posting's BM25 score for one expansion:
-        tf_norm is increasing in tf and decreasing in field length, so
+    def _score_ub_vec(tfm, lmn, idf_boosts, fields_boost, avgs, k1, b):
+        """Vectorized per-expansion BM25 score upper bounds: tf_norm is
+        increasing in tf and decreasing in field length, so
         tf_norm(tf_max, len_min) bounds every posting per field."""
-        if bnd is None:
-            return 0.0
-        tfm, lmn = bnd
-        s = 0.0
+        s = np.zeros(len(idf_boosts), dtype=np.float64)
         for f, bb in enumerate(fields_boost):
-            if bb == 0.0 or tfm[f] == 0 or avgs[f] <= 0.0:
+            if bb == 0.0 or avgs[f] <= 0.0:
                 continue
-            tf = float(tfm[f])
+            tf = tfm[:, f]
             s += bb * ((k1 + 1.0) * tf) / (
-                k1 * ((1.0 - b) + b * (lmn[f] / avgs[f])) + tf)
-        return s * idf_boost
+                k1 * ((1.0 - b) + b * (lmn[:, f] / avgs[f])) + tf)
+        return s * idf_boosts
 
     def _query_bm25(self, query_terms, fields_boost, n_docs, avgs, k1, b,
                     expand, k=None):
@@ -940,7 +1132,7 @@ class SearchEngine:
         for term in query_terms:
             if term == "":
                 continue
-            ordered, df_map, bnd_map = self._expansions_for(term, expand)
+            ordered, df_map = self._expansions_for(term, expand)
             if not ordered:
                 continue
             idf_boosts = []
@@ -955,32 +1147,32 @@ class SearchEngine:
                     boost = math.log(1.0 + 1.0 / (
                         1.0 + len(e.encode()) - len(term.encode())))
                 idf_boosts.append(idf * boost)
-            term_infos.append((term, ordered, idf_boosts, bnd_map))
+            term_infos.append((term, ordered, np.asarray(idf_boosts)))
         # Exact top-k pruning is valid only when ONE query term
         # contributes postings: the merge is then a pure per-doc max
         # over expansions (prev is always None, so expansion order
         # cannot affect scores).
         prune = k is not None and len(term_infos) == 1
         # per-term score upper bounds for the multi-term TAAT suffix
-        # restriction (only needed when a top-k is requested)
+        # restriction (bounds fetched lazily — only top-k queries pay)
         term_ubs = None
         if k is not None and len(term_infos) > 1:
-            term_ubs = [max(self._score_ub(bnd_map.get(e), ib, fields_boost,
-                                           avgs, k1, b)
-                            for e, ib in zip(ordered, idf_boosts))
-                        for _, ordered, idf_boosts, bnd_map in term_infos]
+            term_ubs = []
+            for term, ordered, idf_boosts in term_infos:
+                tfm, lmn = self._bounds_for(term, expand, ordered)
+                term_ubs.append(float(self._score_ub_vec(
+                    tfm, lmn, idf_boosts, fields_boost, avgs, k1, b).max()))
         g_docs = np.empty(0, dtype=np.uint64)
         g_scores = np.empty(0, dtype=np.float64)
         only_docs = None
-        for ti, (term, ordered, idf_boosts, bnd_map) in enumerate(term_infos):
+        for ti, (term, ordered, idf_boosts) in enumerate(term_infos):
             if prune:
                 # process expansions in descending score upper bound;
                 # stop when the bound can no longer enter the top-k
-                ub_each = [self._score_ub(bnd_map.get(e), idf_boosts[i],
-                                          fields_boost, avgs, k1, b)
-                           for i, e in enumerate(ordered)]
-                order_ub = sorted(range(len(ordered)),
-                                  key=lambda i: -ub_each[i])
+                tfm, lmn = self._bounds_for(term, expand, ordered)
+                ub_each = self._score_ub_vec(tfm, lmn, idf_boosts,
+                                             fields_boost, avgs, k1, b)
+                order_ub = np.argsort(-ub_each, kind="stable")
                 # chunks double each round: tight early cutoff when hot
                 # terms can be pruned, few RPC rounds when they can't
                 CHUNK = 64
@@ -991,8 +1183,8 @@ class SearchEngine:
                             len(g_scores) - k]
                     else:
                         kth = -np.inf
-                    chunk = [i for i in order_ub[pos:pos + CHUNK]
-                             if ub_each[i] > kth]
+                    cand = order_ub[pos:pos + CHUNK]
+                    chunk = cand[ub_each[cand] > kth].tolist()
                     if not chunk:
                         break
                     terms_c = [ordered[i] for i in chunk]
@@ -1026,31 +1218,39 @@ class SearchEngine:
                     len(g_scores) - k]
                 if sum(term_ubs[ti:]) < kth:
                     only_docs = g_docs.copy()
-            # ONE batched call per shard for all expansions of this term.
-            # keep_nonpositive: docs whose score would be None in the
-            # reference are still *visited* (src/query.rs:88), so the
-            # truly-first expansion containing a doc defines s_first even
-            # when it scores <= 0 (observable with a 0 in fields_boost).
-            per_shard = self._call("score_bm25_batch", ordered, idf_boosts,
-                                   fields_boost, avgs, k1, b, self.tomb,
-                                   True, None, -np.inf, only_docs)
-            rp = [r for r, _, _ in per_shard if len(r)]
-            if not rp:
+            # ONE per-doc-REDUCED call per shard for all expansions of
+            # this term: shards locally fold their (expansion, posting)
+            # records into per-doc (min rank, first score, max positive,
+            # max positive excl. shard-first) rows, so coordinator
+            # traffic and merge work scale with #docs touched, never
+            # with expansion multiplicity.  Docs whose score would be
+            # None in the reference are still *visited* (src/query.rs:88)
+            # — f carries the raw first-record score, sign and all.
+            per_shard = self._call("score_bm25_reduced", ordered,
+                                   idf_boosts, fields_boost, avgs, k1, b,
+                                   self.tomb, only_docs)
+            per_shard = [t for t in per_shard if len(t[0])]
+            if not per_shard:
                 continue
-            rank_all = np.concatenate(rp)
-            docs_all = np.concatenate([d for _, d, _ in per_shard if len(d)])
-            s_all = np.concatenate([s for _, _, s in per_shard if len(s)])
-            order = np.lexsort((rank_all, docs_all))
-            d_s, s_s = docs_all[order], s_all[order]
+            d_all = np.concatenate([t[0] for t in per_shard])
+            r_all = np.concatenate([t[1] for t in per_shard])
+            f_all = np.concatenate([t[2] for t in per_shard])
+            p_all = np.concatenate([t[3] for t in per_shard])
+            q_all = np.concatenate([t[4] for t in per_shard])
+            order = np.lexsort((r_all, d_all))
+            d_s, f_s = d_all[order], f_all[order]
+            p_s, q_s = p_all[order], q_all[order]
             starts = np.flatnonzero(
                 np.concatenate(([True], d_s[1:] != d_s[:-1])))
             term_docs = d_s[starts]
-            s_first = s_s[starts]
+            s_first = f_s[starts]
             sf_pos = s_first > 0.0
-            # rest_max over *positive* scores only (None-scores never merge)
-            masked = np.where(s_s > 0.0, s_s, -np.inf)
-            masked[starts] = -np.inf
-            rest_max = np.maximum.reduceat(masked, starts)
+            # rest_max over *positive* scores only (None-scores never
+            # merge); the globally-first shard row contributes q (its
+            # max excluding the one globally-first record), others p
+            val = p_s
+            val[starts] = q_s[starts]
+            rest_max = np.maximum.reduceat(val, starts)
             # merge into global scores (max_score_merger semantics):
             #   prev exists, s_first>0 → max(prev + s_first, rest…)
             #   prev exists, s_first<=0 → max(prev, rest…)   (visited-only)
@@ -1108,7 +1308,7 @@ class SearchEngine:
         for qti, term in enumerate(query_terms):
             if term == "":
                 continue
-            ordered, df_map, _ = self._expansions_for(term, expand)
+            ordered, df_map = self._expansions_for(term, expand)
             visited: set[int] = set()
             per_shard = self._call("gather_postings_many", ordered, self.tomb)
             by_rank = {}
@@ -1166,7 +1366,7 @@ class SearchEngine:
         for qti, term in enumerate(query_terms):
             if term == "":
                 continue
-            ordered, df_map, _ = self._expansions_for(term, expand)
+            ordered, df_map = self._expansions_for(term, expand)
             tl = float(len(term.encode()))
             per_shard = self._call("gather_postings_many", ordered, self.tomb)
             flat = [(i, p) for lst in per_shard for i, p in lst if p is not None]

@@ -91,7 +91,7 @@ def check_collisions(index_dir: str, key_col: str) -> pd.DataFrame:
     def add_h2(b: pa.Table) -> pa.Table:
         keys = b[key_col].to_numpy(zero_copy_only=False)
         h2 = pd.util.hash_array(np.asarray(keys, dtype=object),
-                                hash_key="psr_keymap_lane_2")
+                                hash_key="psr_keymap_ln_02")
         return pa.table({"doc_id": b["doc_id"],
                          "h2": pa.array(h2.view(np.int64))})
 

@@ -301,6 +301,38 @@ def test_topk_taat_restriction_exact(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_csr_cache_multigroup_merge(tmp_path):
+    """Parallel build-time cache with MULTIPLE un-compacted groups
+    (interleaved term ranges): the driver-side (term, group) merge must
+    yield the same dictionary + results as the in-proc sorted load."""
+    rng = np.random.default_rng(17)
+    vocab = np.array(["a", "ab", "abc", "b", "ba", "ca", "zz", "zq"])
+    corpus = _rand_corpus(rng, 90, 1, vocab)
+    items = sorted(corpus.items())
+    for gi in range(3):   # 3 files → files_per_group=1 → 3 groups
+        part = dict(items[gi * 30:(gi + 1) * 30])
+        write_corpus(str(tmp_path / f"p{gi}"), part, 1)
+    idx = os.path.join(str(tmp_path), "index")
+    build_index([str(tmp_path / f"p{gi}" / "corpus.parquet")
+                 for gi in range(3)], idx, key_col="doc_id",
+                field_cols=["f0"], files_per_group=1, overwrite=True)
+    from probly_search_ray.search import ShardData
+    hit = ShardData(idx)                        # build-time merged cache
+    raw = ShardData(idx, use_cache=False)       # in-proc sorted load
+    assert hit.terms == raw.terms
+    assert (np.asarray(hit.df) == raw.df).all()
+    assert (np.asarray(hit.p_docs) == raw.p_docs).all()
+    for f in range(1):
+        assert (np.asarray(hit.p_tf[f]) == raw.p_tf[f]).all()
+        assert (np.asarray(hit.tf_max[f]) == raw.tf_max[f]).all()
+    eng = SearchEngine(idx)
+    for q in ("a", "ab zz", "b ca zq"):
+        full = eng.query(q, "bm25")
+        full.sort(key=lambda r: (-r[1], r[0]))
+        assert eng.query(q, "bm25", k=5) == full[:5], q
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_csr_cache_roundtrip(tmp_path):
     """mmap'd CSR cache load == fresh decode (results and dictionary),
     and a rebuilt index invalidates the old cache via the manifest
