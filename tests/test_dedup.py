@@ -62,6 +62,19 @@ def test_near_dup_pairs_planted(docs_ds):
     assert 0.5 <= j[(2, 200)] < 1.0
 
 
+def test_jaccard_verify_chunked(docs_ds):
+    """pair_chunk smaller than the pair count must verify identically —
+    chunking only bounds the membership broadcast, never the result."""
+    from probly_search_ray.stages.dedup import (jaccard_verify,
+                                                lsh_candidate_pairs)
+    ds, _ = docs_ds
+    cands = lsh_candidate_pairs(ds, bands=32).materialize()
+    full = jaccard_verify(ds, cands, 0.5)
+    chunked = jaccard_verify(ds, cands, 0.5, pair_chunk=2)
+    pd.testing.assert_frame_equal(full, chunked)
+    assert len(full) >= 4
+
+
 def test_near_dup_pairs_many_candidates(ray_session):
     """Distributed verify at scale: >=10^4 planted candidate pairs flow
     through the broadcast-membership + count-aggregate verify (no
