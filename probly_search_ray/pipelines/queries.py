@@ -619,6 +619,117 @@ def dup_clusters(sf_dir: str):
     return joined.select_columns(["doc_id", "cluster_id"])
 
 
+_PAIRS_CACHE: dict = {}
+
+
+def _near_pairs_cached(sf_dir: str, threshold: float, bands: int):
+    """Verified near-dup pairs, cached per (sf_dir, params) — the
+    clustering / survivor / clean entries all reuse the same pair
+    computation instead of re-running the LSH pipeline."""
+    key = (os.path.abspath(sf_dir), threshold, bands)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = near_dup_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), threshold=threshold,
+            bands=bands)
+    return _PAIRS_CACHE[key]
+
+
+def near_dup_clusters(sf_dir: str):
+    """Near-duplicate clustering: connected components over the
+    verified Jaccard ≥ 0.5 pair graph (distributed hash-min label
+    propagation with pointer jumping — O(log diameter) rounds of
+    C-level shuffles; see ``stages.dedup.connected_components``).
+    cluster_id = min doc id reachable; only docs that appear in at
+    least one near-dup pair are emitted (the result is O(#dups)).
+    Oracle: DuckDB recursive CTE transitive closure over the same
+    brute-force pair graph."""
+    from probly_search_ray.stages.dedup import connected_components
+    pairs = _near_pairs_cached(sf_dir, 0.5, 64)
+    cc = connected_components(pairs[["a", "b"]]).to_pandas()
+    cc = cc.rename(columns={"node": "doc_id", "comp": "cluster_id"})
+    return cc.sort_values("doc_id").reset_index(drop=True)
+
+
+def _near_drop_ids(sf_dir: str, threshold: float) -> np.ndarray:
+    from probly_search_ray.stages.dedup import connected_components
+    pairs = _near_pairs_cached(sf_dir, threshold, 64)
+    cc = connected_components(pairs[["a", "b"]]).to_pandas()
+    drops = cc.loc[cc["comp"] < cc["node"], "node"].to_numpy(np.int64)
+    return np.sort(drops)
+
+
+def near_dedup_survivors(sf_dir: str):
+    """Corpus after near-duplicate removal (Jaccard ≥ 0.5): keep the
+    min-id doc of every near-dup component plus all unpaired docs.
+    The drop set is O(#dups) — broadcast once (``ray.put``) and
+    applied as a vectorized filter in one corpus pass; no corpus-sized
+    anti-join shuffle."""
+    import ray as _ray
+    from probly_search_ray.stages.dedup import _in_sorted
+    drop_ref = _ray.put(_near_drop_ids(sf_dir, 0.5))
+
+    def keep(t: pa.Table) -> pa.Table:
+        drops = _ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(
+            ids[~_in_sorted(ids, drops)])})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
+def corpus_clean(sf_dir: str):
+    """Flagship training-data curation pipeline — ONE corpus pass
+    applying every gate, with the (small) duplicate drop sets computed
+    first and broadcast:
+
+    keep a doc iff
+      - heuristic language id == 'en'            (stages.textstats)
+      - >= 20 tokens and stopword ratio >= 0.02  (quality gate)
+      - it is the min-id member of its identical-content group
+        (exact dedup — catches short docs that emit no shingles)
+      - it is the min-id member of its near-dup component
+        (MinHash-LSH pairs at Jaccard >= 0.8 → connected components)
+
+    At 100 TB the drop sets are O(#duplicates) (the minority by
+    construction), so they ride a ``ray.put`` broadcast into a single
+    vectorized filter stage; the corpus itself is read once for the
+    drops (hash/shingle passes) and once here — never shuffled."""
+    import ray as _ray
+    from probly_search_ray.stages.dedup import _in_sorted, exact_dup_drops
+    exact_df = exact_dup_drops(_docs(sf_dir, ["doc_id", "text"])) \
+        .to_pandas()
+    exact_drops = np.sort(
+        exact_df["doc_id"].to_numpy(np.int64)
+        if "doc_id" in exact_df.columns else np.empty(0, np.int64))
+    near_drops = _near_drop_ids(sf_dir, 0.8)
+    drop_ref = _ray.put(np.union1d(exact_drops, near_drops))
+
+    class CleanFilter:
+        def __init__(self):
+            self.drops = _ray.get(drop_ref)
+            self.langid = textstats.LangId()
+            self.stop = np.asarray(sorted(STOPWORDS))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks, lens, didx = textstats._tokenize_flat(batch)
+            n = len(batch)
+            pred = self.langid(batch)["pred_lang"].to_numpy(
+                zero_copy_only=False)
+            stop_cnt = np.zeros(n, dtype=np.int64)
+            if len(toks):
+                is_stop = np.isin(toks, self.stop)
+                stop_cnt = np.bincount(didx[is_stop], minlength=n)
+            ratio = stop_cnt / np.maximum(lens, 1)
+            ids = batch["doc_id"].to_numpy()
+            keep = ((pred == "en") & (lens >= 20) & (ratio >= 0.02)
+                    & ~_in_sorted(ids, self.drops))
+            return pa.table({"doc_id": pa.array(ids[keep])})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        CleanFilter, batch_format="pyarrow", concurrency=2)
+
+
 QUERIES = {
     "sessions": sessions,
     "dup_clusters": dup_clusters,
@@ -647,6 +758,9 @@ QUERIES = {
     "embedding_topk_ivf": embedding_topk_ivf,
     "embedding_near_dups": embedding_near_dups,
     "embedding_near_dups_bucketed": embedding_near_dups_bucketed,
+    "near_dup_clusters": near_dup_clusters,
+    "near_dedup_survivors": near_dedup_survivors,
+    "corpus_clean": corpus_clean,
     "media_features": media_features,
     "events_hourly": events_hourly,
     "events_sliding": events_sliding,
@@ -658,6 +772,37 @@ QUERIES = {
 
 
 _TOK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _cc_sql(threshold: float) -> str:
+    """Recursive-CTE connected components over the brute-force
+    w=3-shingle Jaccard >= threshold pair graph: ``cc`` maps every
+    paired doc to the min doc id reachable (transitive closure)."""
+    return f"""
+  toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+  shcc AS (
+    SELECT doc_id,
+      list_transform(generate_series(1, len(ts) - 2),
+                     i -> array_to_string(ts[i:i+2], ' ')) AS shingles
+    FROM toks WHERE len(ts) >= 3
+  ),
+  prcc AS (
+    SELECT a.doc_id AS a, b.doc_id AS b
+    FROM shcc a JOIN shcc b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles)))
+          >= {threshold}
+  ),
+  edges AS (SELECT a AS u, b AS v FROM prcc
+            UNION SELECT b, a FROM prcc),
+  reach AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+  ),
+  cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u)
+"""
 
 _BM25_COMMON = f"""
 WITH tok AS (
@@ -811,6 +956,60 @@ ORACLES = {
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         )
         SELECT a, b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5
+    """,
+    "near_dup_clusters": f"""
+        WITH RECURSIVE {_cc_sql(0.5)}
+        SELECT doc_id, cluster_id FROM cc
+    """,
+    "near_dedup_survivors": f"""
+        WITH RECURSIVE {_cc_sql(0.5)}
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN
+          (SELECT doc_id FROM cc WHERE cluster_id < doc_id)
+    """,
+    "corpus_clean": f"""
+        WITH RECURSIVE {_cc_sql(0.8)},
+        tokc AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+        profc AS (
+          SELECT * FROM (VALUES {", ".join(
+              f"('{lang}', '{w}')"
+              for lang in sorted(textstats.LANG_PROFILES)
+              for w in sorted(textstats.LANG_PROFILES[lang]))})
+               AS v(lang, w)
+        ),
+        hitsc AS (
+          SELECT tokc.doc_id, profc.lang, count(*) AS c
+          FROM tokc JOIN profc ON tokc.t = profc.w
+          GROUP BY tokc.doc_id, profc.lang
+        ),
+        bestc AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY c DESC, lang ASC) AS r
+          FROM hitsc
+        ),
+        qual AS (
+          SELECT doc_id, len(ts) AS n_tokens,
+            len(list_filter(ts, x -> list_contains(
+                {list(STOPWORDS)!r}::VARCHAR[], x)))::DOUBLE
+              / greatest(len(ts), 1) AS sr
+          FROM toks
+        ),
+        exdrop AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS m
+            FROM documents)
+          WHERE doc_id > m
+        )
+        SELECT d.doc_id
+        FROM documents d
+        JOIN qual USING (doc_id)
+        JOIN (SELECT doc_id, lang FROM bestc WHERE r = 1) b
+          USING (doc_id)
+        WHERE b.lang = 'en' AND qual.n_tokens >= 20 AND qual.sr >= 0.02
+          AND d.doc_id NOT IN (SELECT doc_id FROM exdrop)
+          AND d.doc_id NOT IN
+            (SELECT doc_id FROM cc WHERE cluster_id < doc_id)
     """,
     "token_stats": f"""
         SELECT doc_id, len({_TOK})::BIGINT AS n_tokens,

@@ -393,3 +393,191 @@ def near_dup_pairs(docs_ds, threshold: float = 0.8, k: int = 128,
     cands = lsh_candidate_pairs(docs_ds, k=k, bands=bands, w=w,
                                 text_col=text_col)
     return jaccard_verify(docs_ds, cands, threshold, w=w, text_col=text_col)
+
+
+def exact_dup_drops(docs_ds, text_col: str = "text", parts: int = 64):
+    """doc_ids to DROP under exact dedup — every non-min member of an
+    identical-content group.  The output is O(#duplicate docs), the
+    small complement of the survivor set, so it can ride a broadcast
+    filter (``corpus_clean``) instead of a corpus-sized anti-join.
+
+    Shape: ONE hash-partitioned shuffle of (hash, id) pairs (``parts``
+    fixed partitions — never one group per hash: a 100 TB corpus has
+    ~10^12 distinct contents and per-group pandas calls would
+    dominate); each partition detects non-first members vectorized
+    over (hash, doc_id)-lexsorted rows."""
+    hashed = docs_ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t["content_hash"].to_numpy(zero_copy_only=False).astype(object))
+        return t.append_column(
+            "pb", pa.array((h % np.uint64(parts)).astype(np.int64)))
+
+    def drops_part(g: pd.DataFrame) -> pd.DataFrame:
+        ch = g["content_hash"].to_numpy().astype("U32")
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, ch))
+        ch, ids = ch[order], ids[order]
+        dup = np.zeros(len(ch), dtype=bool)
+        dup[1:] = ch[1:] == ch[:-1]          # every member after the min
+        return pd.DataFrame({"doc_id": ids[dup]})
+
+    return hashed.map_batches(add_pb, batch_format="pyarrow") \
+        .groupby("pb").map_groups(drops_part, batch_format="pandas")
+
+def connected_components(pairs, parts: int = 64, max_iters: int = 64):
+    """(node, comp) for every node appearing in ``pairs`` — comp = the
+    minimum node id reachable in the undirected pair graph (the
+    canonical duplicate-cluster id).
+
+    Distributed hash-min label propagation, TWO fixed-partition
+    shuffles per round (the repo-standard partitioned-vectorized
+    shape; Ray's hash join breaks on the empty-schema blocks its
+    shuffle emits for empty partitions, so no ``Dataset.join``):
+
+    1. propagate: edge rows partition by their LOOKUP endpoint, label
+       rows by node; each partition resolves comp[nbr] with one
+       searchsorted gather and emits (node, comp[nbr]) candidates.
+       The label map itself rides along as extra symmetric edges
+       (node ↔ comp), which makes every round also apply
+       comp[x] ← comp[comp[x]] — pointer jumping for free, so rounds
+       = O(log diameter), not O(diameter).
+    2. combine: candidates ∪ labels partition by node; per-partition
+       lexsort + first-of-group = the new min label per node.
+
+    Labels are monotone non-increasing, so an unchanged Sum(comp)
+    checksum ⇔ fixpoint; the driver only ever sees that scalar.
+    ``pairs`` is a DataFrame or Dataset with int64 columns (a, b).
+    Returns a Dataset with columns (node, comp).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "comp": pa.array([], pa.int64())})
+    if isinstance(pairs, pd.DataFrame):
+        if not len(pairs):
+            return ray.data.from_arrow(empty)
+        pairs = ray.data.from_pandas(pairs[["a", "b"]])
+    P = np.int64(parts)
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "nbr": pa.array([], pa.int64())})
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(np.concatenate((a, b))),
+                         "nbr": pa.array(np.concatenate((b, a)))})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # initial labels: comp = min(self, neighbors) — one propagate round
+    # from the identity labeling is exactly that, so seed with identity
+    def ident(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        n = t["node"].to_numpy()
+        u = np.unique(n)
+        return pa.table({"node": pa.array(u), "comp": pa.array(u)})
+
+    labels = edges.map_batches(ident, batch_format="pyarrow")
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        # kind=1 edge rows, partitioned by the lookup endpoint (nbr)
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"pb": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        nbr = t["nbr"].to_numpy().astype(np.int64)
+        return pa.table({"pb": pa.array(nbr % P),
+                         "kind": pa.array(np.ones(len(nbr), np.int8)),
+                         "x": t["node"].cast(pa.int64()),
+                         "y": pa.array(nbr)})
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        # kind=0 label rows (x=node, y=comp), partitioned by node, PLUS
+        # the label-star edges (x=comp gets comp[node]... and the
+        # jump direction x=node looks up comp[comp]) — both symmetric
+        # directions, partitioned by their lookup endpoint
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"pb": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        node = t["node"].to_numpy().astype(np.int64)
+        comp = t["comp"].to_numpy().astype(np.int64)
+        x = np.concatenate((node, node, comp))
+        y = np.concatenate((comp, comp, node))   # lookup endpoints
+        pb = np.concatenate((node % P,           # the map rides by node
+                             comp % P,           # jump: comp[comp[x]]
+                             node % P))          # reverse star edge
+        kind = np.concatenate((
+            np.zeros(len(node), np.int8),        # the label map itself
+            np.ones(2 * len(node), np.int8)))    # star edges
+        return pa.table({"pb": pa.array(pb),
+                         "kind": pa.array(kind),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        lab = kind == 0
+        lx, ly = x[lab], y[lab]                  # node -> comp map
+        order = np.argsort(lx)
+        lx, ly = lx[order], ly[order]
+        ex, ey = x[~lab], y[~lab]
+        if len(lx) == 0:
+            return pd.DataFrame({"node": np.empty(0, np.int64),
+                                 "comp": np.empty(0, np.int64)})
+        pos = np.searchsorted(lx, ey)
+        pos = np.minimum(pos, len(lx) - 1)
+        m = lx[pos] == ey
+        return pd.DataFrame({"node": ex[m], "comp": ly[pos[m]]})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["node"].to_numpy()
+        c = g["comp"].to_numpy()
+        order = np.lexsort((c, n))
+        n, c = n[order], c[order]
+        first = np.ones(len(n), dtype=bool)
+        first[1:] = n[1:] != n[:-1]
+        return pd.DataFrame({"node": n[first], "comp": c[first]})
+
+    def by_node(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"pb": pa.array([], pa.int64()),
+                             "node": pa.array([], pa.int64()),
+                             "comp": pa.array([], pa.int64())})
+        n = t["node"].to_numpy().astype(np.int64)
+        return pa.table({"pb": pa.array(n % P),
+                         "node": pa.array(n),
+                         "comp": t["comp"].cast(pa.int64())})
+
+    def checksum(ds) -> int:
+        res = ds.aggregate(Sum("comp", alias_name="s"))
+        return int(res["s"]) if res and res.get("s") is not None else 0
+
+    labels = labels.materialize()
+    prev = None
+    for _ in range(max_iters):
+        tagged = edges.map_batches(tag_edges, batch_format="pyarrow") \
+            .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+        cands = tagged.groupby("pb").map_groups(
+            propagate, batch_format="pandas")
+        labels = cands.union(labels) \
+            .map_batches(by_node, batch_format="pyarrow") \
+            .groupby("pb").map_groups(combine, batch_format="pandas") \
+            .map_batches(lambda t: t.select(["node", "comp"])
+                         if t.num_columns else empty,
+                         batch_format="pyarrow") \
+            .materialize()
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels

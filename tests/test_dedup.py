@@ -104,3 +104,31 @@ def test_near_dup_pairs_many_candidates(ray_session):
     # unrelated 30-token docs over a 5k vocab can't reach jaccard 0.6
     assert not extras, list(extras)[:5]
     assert (pairs["jaccard"] >= 0.6).all()
+
+
+def test_connected_components(ray_session):
+    """Hash-min label propagation: chain, pair, star, and a 41-node
+    chain (pointer jumping must converge in O(log) rounds, well under
+    the iteration cap)."""
+    import ray.data
+    from probly_search_ray.stages.dedup import connected_components
+    pairs = pd.DataFrame({"a": [1, 2, 3, 4, 10, 21, 22, 23],
+                          "b": [2, 3, 4, 5, 11, 20, 20, 20]})
+    cc = connected_components(pairs).to_pandas().sort_values("node")
+    assert cc["node"].tolist() == [1, 2, 3, 4, 5, 10, 11, 20, 21, 22, 23]
+    assert cc["comp"].tolist() == [1, 1, 1, 1, 1, 10, 10, 20, 20, 20, 20]
+    n = 41
+    chain = pd.DataFrame({"a": list(range(n - 1)), "b": list(range(1, n))})
+    cc2 = connected_components(chain).to_pandas()
+    assert len(cc2) == n and set(cc2["comp"]) == {0}
+    assert len(connected_components(pd.DataFrame({"a": [], "b": []}))
+               .to_pandas()) == 0
+
+
+def test_exact_dup_drops(ray_session):
+    import ray.data
+    from probly_search_ray.stages.dedup import exact_dup_drops
+    docs = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4, 5],
+                         "text": ["x", "y", "x", "z", "y", "x"]})
+    dr = exact_dup_drops(ray.data.from_pandas(docs)).to_pandas()
+    assert sorted(dr["doc_id"]) == [2, 4, 5]
