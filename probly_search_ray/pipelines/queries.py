@@ -730,6 +730,53 @@ def corpus_clean(sf_dir: str):
         CleanFilter, batch_format="pyarrow", concurrency=2)
 
 
+# --------------------------------------------------------------------------
+# curation tranche (round 3): decontamination, redaction, repetition,
+# unigram LM, shard packing, stratified sampling — stages/curation.py
+# --------------------------------------------------------------------------
+
+def decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag docs sharing 5-gram token
+    n-grams with the (broadcast) benchmark subset doc_id % 29 == 0."""
+    from probly_search_ray.stages import curation
+    return curation.decontaminate(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def redact_patterns(sf_dir: str):
+    """PII-style regex scrub (C-level RE2 count + replace kernels)."""
+    from probly_search_ray.stages import curation
+    return curation.redact_patterns(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition fractions per doc."""
+    from probly_search_ray.stages import curation
+    return curation.repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def unigram_logprob(sf_dir: str):
+    """Perplexity-proxy quality score: mean unigram log-prob under the
+    corpus LM.  The vocabulary count table comes from the distributed
+    ``term_df`` pipeline and is broadcast as the small side."""
+    from probly_search_ray.stages import curation
+    freq = term_df(sf_dir).to_pandas()
+    return curation.unigram_logprob(_docs(sf_dir, ["doc_id", "text"]), freq)
+
+
+def pack_shards(sf_dir: str):
+    """Token-budget training-shard packing via the two-pass distributed
+    prefix-sum scan."""
+    from probly_search_ray.stages import curation
+    return curation.pack_shards(_docs(sf_dir, ["doc_id", "text"]),
+                                budget=2000)
+
+
+def sample_stratified(sf_dir: str):
+    """Deterministic hash sampling with per-source counts."""
+    from probly_search_ray.stages import curation
+    return curation.sample_stratified(_docs(sf_dir, ["doc_id", "source"]))
+
+
 QUERIES = {
     "sessions": sessions,
     "dup_clusters": dup_clusters,
@@ -768,6 +815,12 @@ QUERIES = {
     "tfidf_top3": tfidf_top3,
     "source_dist": source_dist,
     "props_k_stats": props_k_stats,
+    "decontaminate": decontaminate,
+    "redact_patterns": redact_patterns,
+    "repetition_stats": repetition_stats,
+    "unigram_logprob": unigram_logprob,
+    "pack_shards": pack_shards,
+    "sample_stratified": sample_stratified,
 }
 
 
@@ -1171,5 +1224,85 @@ ORACLES = {
                round(avg(json_extract_string(props, '$.k')::DOUBLE), 6)
                  AS avg_k
         FROM events GROUP BY event_type
+    """,
+    # 5-gram benchmark-overlap decontamination (benchmark = doc_id%29==0)
+    "decontaminate": f"""
+        WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+        ngr AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                                i -> array_to_string(t[i:i+4], ' ')) AS gs
+          FROM toks
+        ),
+        bench AS (SELECT DISTINCT unnest(gs) AS g FROM ngr
+                  WHERE doc_id % 29 = 0),
+        expl AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM ngr
+                 WHERE doc_id % 29 <> 0),
+        ov AS (SELECT e.doc_id, count(*) AS n_overlap
+               FROM expl e JOIN bench b ON e.g = b.g GROUP BY e.doc_id)
+        SELECT d.doc_id, coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+               (coalesce(o.n_overlap, 0) > 0)::BIGINT AS contaminated
+        FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
+        WHERE d.doc_id % 29 <> 0
+    """,
+    "redact_patterns": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\b(customer|supplier)\b'))::BIGINT
+                 AS n_redacted,
+               regexp_replace(text, '\b(customer|supplier)\b',
+                              '[REDACTED]', 'g') AS text_clean
+        FROM documents
+    """,
+    "repetition_stats": f"""
+        WITH base AS (SELECT doc_id, {_TOK} AS t,
+                             len({_TOK}) AS n FROM documents),
+        u AS (SELECT doc_id, n, unnest(t) AS tok FROM base),
+        tc AS (SELECT doc_id, tok, count(*) AS c, any_value(n) AS n
+               FROM u GROUP BY doc_id, tok),
+        tm AS (SELECT doc_id,
+                      round(max(c)::DOUBLE / greatest(any_value(n), 1), 6)
+                        AS top_token_frac
+               FROM tc GROUP BY doc_id),
+        bg AS (SELECT doc_id, n,
+                      unnest(list_transform(
+                        generate_series(1, greatest(len(t) - 1, 0)),
+                        i -> t[i] || ' ' || t[i+1])) AS big
+               FROM base),
+        bc AS (SELECT doc_id, big, count(*) AS c, any_value(n) AS n
+               FROM bg GROUP BY doc_id, big),
+        bm AS (SELECT doc_id,
+                      round(max(c)::DOUBLE / greatest(any_value(n) - 1, 1), 6)
+                        AS top_bigram_frac
+               FROM bc GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(tm.top_token_frac, 0.0) AS top_token_frac,
+               coalesce(bm.top_bigram_frac, 0.0) AS top_bigram_frac
+        FROM documents d
+        LEFT JOIN tm ON d.doc_id = tm.doc_id
+        LEFT JOIN bm ON d.doc_id = bm.doc_id
+    """,
+    "unigram_logprob": f"""
+        WITH u AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+        f AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+        tot AS (SELECT sum(c)::DOUBLE AS s FROM f)
+        SELECT u.doc_id,
+               round(avg(ln(f.c / (SELECT s FROM tot))), 6) AS logprob
+        FROM u JOIN f USING (tok) GROUP BY u.doc_id
+    """,
+    "pack_shards": f"""
+        WITH t AS (SELECT doc_id, len({_TOK}) AS n_tokens FROM documents)
+        SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+               (coalesce(sum(n_tokens) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 2000)::BIGINT AS shard_id
+        FROM t
+    """,
+    "sample_stratified": """
+        SELECT source, count(*)::BIGINT AS n_total,
+               sum(CASE WHEN (((doc_id % 4294967296)::HUGEINT * 2654435761)
+                              % 4294967296) % 10 = 3
+                        THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+        FROM documents GROUP BY source
     """,
 }

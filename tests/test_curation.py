@@ -1,0 +1,78 @@
+"""Curation-tranche unit tests: planted contamination, pack_shards
+block-layout invariance, deterministic sampling, repetition kernel."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from probly_search_ray.stages import curation
+
+
+def _docs_ds(rows, num_blocks=1):
+    return ray.data.from_pandas(pd.DataFrame(rows)) \
+        .repartition(num_blocks)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_planted():
+    shared = "alpha beta gamma delta epsilon"          # one 5-gram
+    rows = [
+        {"doc_id": 0, "text": f"prefix {shared} suffix"},      # benchmark
+        {"doc_id": 30, "text": f"noise {shared} more noise"},  # contaminated
+        {"doc_id": 31, "text": "totally different words here now ok"},
+    ]
+    out = curation.decontaminate(_docs_ds(rows), bench_mod=29).to_pandas() \
+        .set_index("doc_id")
+    assert 0 not in out.index                  # benchmark docs excluded
+    assert out.loc[30, "contaminated"] == 1
+    assert out.loc[30, "n_overlap"] == 1       # exactly the shared 5-gram
+    assert out.loc[31, "contaminated"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_shards_block_layout_invariant():
+    rng = np.random.default_rng(7)
+    rows = [{"doc_id": i, "text": " ".join(["w"] * int(rng.integers(1, 40)))}
+            for i in range(200)]
+    a = curation.pack_shards(_docs_ds(rows, 1), budget=100).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = curation.pack_shards(_docs_ds(rows, 7), budget=100).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # contract: shard = floor(tokens-before / budget), in doc_id order
+    cum_prev = a["n_tokens"].cumsum().shift(fill_value=0)
+    assert (a["shard_id"] == cum_prev // 100).all()
+    assert a["shard_id"].is_monotonic_increasing
+
+
+def test_sample_mask_deterministic_and_stratified():
+    ids = np.arange(100_000, dtype=np.int64)
+    m1 = curation.sample_mask(ids)
+    m2 = curation.sample_mask(ids)
+    assert (m1 == m2).all()
+    rate = m1.mean()
+    assert 0.05 < rate < 0.15                   # ~1/10 residue class
+
+
+def test_repetition_kernel_brute_force():
+    texts = ["a a a b c", "x y", "q", "m n m n m n m n"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    # run the per-batch kernel directly
+    import ray.data as rd
+    out = curation.repetition_stats(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    def brute(s):
+        toks = [x for x in s.split(" ") if x]
+        n = len(toks)
+        bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        tt = max((toks.count(x) for x in set(toks)), default=0) / max(n, 1)
+        tb = max((bigs.count(x) for x in set(bigs)), default=0) / max(n - 1, 1)
+        return round(tt, 6), round(tb, 6)
+    for i, s in enumerate(texts):
+        tt, tb = brute(s)
+        assert out.loc[i, "top_token_frac"] == pytest.approx(tt)
+        assert out.loc[i, "top_bigram_frac"] == pytest.approx(tb)
