@@ -129,6 +129,67 @@ def bm25_prefix(sf_dir: str):
                          "score": [round(s, 6) for _, s in res]})
 
 
+def bm25_conjunctive(sf_dir: str):
+    """Conjunctive (AND) BM25 — only docs containing EVERY query term,
+    scored identically to the disjunctive path (engine extension:
+    ``query(require_all=True)``; candidate build is one O(df)
+    ``union_docs`` fan-out per term + coordinator intersection)."""
+    eng = _engine(sf_dir)
+    res = eng.query(" ".join(BM25_QUERY_TERMS), "bm25", expand=False,
+                    require_all=True)
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
+def index_postings(sf_dir: str):
+    """Index-as-dataset export: read the committed term-shard parquet
+    files back as a Ray Dataset and decode the posting blocks
+    DISTRIBUTED (the vectorized ``ShardData._decode_rows`` kernel per
+    batch — no per-blob Python) into (term, doc_id, tf, field_len)
+    rows.  Gates the whole build/encode path at posting granularity
+    and doubles as the escape hatch from the index format to columnar
+    tooling (the reference keeps its index in-memory only,
+    `/root/reference/src/index.rs`)."""
+    import pyarrow.compute as _pc
+    from probly_search_ray.search import ShardData
+    from probly_search_ray.state.manifest import Manifest
+
+    eng = _engine(sf_dir)
+    man = Manifest(eng.index_dir)
+    files = [os.path.join(eng.index_dir, r["path"])
+             for r in man.term_files()]
+    F = man.data["config"]["num_fields"]
+
+    def decode(b: pa.Table) -> pa.Table:
+        b = b.filter(_pc.not_equal(b["term"], ""))
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64()),
+                          "field_len": pa.array([], pa.int64())})
+        if not len(b):
+            return empty
+        blob = _pc.cast(b["blob"], pa.large_binary()).combine_chunks()
+        off_all = np.frombuffer(blob.buffers()[1], dtype=np.int64)
+        off = off_all[blob.offset: blob.offset + len(b) + 1]
+        data = np.frombuffer(blob.buffers()[2], dtype=np.uint8)
+        stream = data[off[0]:off[-1]]
+        rbs = (off[:-1] - off[0]).astype(np.int64)
+        docs, tfs, lens, rc = ShardData._decode_rows(stream, rbs, F)
+        ridx = np.repeat(np.arange(len(b), dtype=np.int64), rc)
+        occ = np.zeros(len(docs), dtype=np.int64)
+        for f in range(F):
+            occ += tfs[f].astype(np.int64)
+        return pa.table({
+            "term": b["term"].combine_chunks().take(pa.array(ridx)),
+            "doc_id": pa.array(docs.astype(np.int64)),
+            "tf": pa.array(occ),
+            "field_len": pa.array(lens[0].astype(np.int64)),
+        })
+
+    ds = ray.data.read_parquet(files, columns=["term", "blob"])
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
 BULK_TERMS = ["table", "merge", "stream", "filter", "window"]
 
 
@@ -821,6 +882,8 @@ QUERIES = {
     "unigram_logprob": unigram_logprob,
     "pack_shards": pack_shards,
     "sample_stratified": sample_stratified,
+    "bm25_conjunctive": bm25_conjunctive,
+    "index_postings": index_postings,
 }
 
 
@@ -1304,5 +1367,33 @@ ORACLES = {
                               % 4294967296) % 10 = 3
                         THEN 1 ELSE 0 END)::BIGINT AS n_sampled
         FROM documents GROUP BY source
+    """,
+    # conjunctive = disjunctive scoring restricted to docs carrying
+    # every query term (HAVING covers all 3)
+    "bm25_conjunctive": _BM25_COMMON + f"""
+        , qt AS (SELECT unnest({['table','merge','stream']!r}::VARCHAR[]) AS t)
+        , tf AS (
+            SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok
+            WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t
+        )
+        , scored AS (
+            SELECT tf.doc_id,
+              ((1.2 + 1.0) * tf.tf)
+                / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len / (SELECT avg FROM avgdl))) + tf.tf)
+              * ln(1.0 + ((SELECT n_docs FROM stats)
+                          - least((SELECT n_docs FROM stats), df.df) + 0.5)
+                       / (least((SELECT n_docs FROM stats), df.df) + 0.5)) AS s
+            FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+        )
+        SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY doc_id
+        HAVING count(*) = 3
+    """,
+    # posting-granular differential over the whole index encode path
+    "index_postings": f"""
+        WITH u AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+        dl AS (SELECT doc_id, len({_TOK}) AS l FROM documents)
+        SELECT u.term, u.doc_id, count(*)::BIGINT AS tf,
+               any_value(dl.l)::BIGINT AS field_len
+        FROM u JOIN dl USING (doc_id) GROUP BY u.term, u.doc_id
     """,
 }

@@ -561,6 +561,26 @@ class ShardData:
         return [(i, self.gather_postings(t, tomb))
                 for i, t in enumerate(terms)]
 
+    def union_docs(self, terms: list[str], tomb: np.ndarray) -> np.ndarray:
+        """Sorted-unique live doc ids appearing in ANY of ``terms``'
+        postings (used by the conjunctive-query candidate build: one
+        call per query term covering all its expansions; traffic is
+        O(df), the term-sharded layout's floor for cross-term
+        intersection — doc-sharded serving localizes it, see
+        SCALE.md)."""
+        parts = []
+        for t in terms:
+            i = self._term_index(t)
+            if i >= 0:
+                parts.append(self.p_docs[self.post_off[i]:
+                                         self.post_off[i + 1]])
+        if not parts:
+            return np.empty(0, np.uint64)
+        d = np.unique(np.concatenate(parts))
+        if len(tomb):
+            d = d[~_in_sorted(d, tomb)]
+        return d
+
     def gather_postings(self, term: str, tomb: np.ndarray):
         """Raw (docs, tfs, lens) for scorer plugins (zero_to_one etc.)."""
         p = self._postings(term)
@@ -996,20 +1016,32 @@ class SearchEngine:
 
     def query(self, q: str, scorer: str = "bm25", k: int | None = None,
               fields_boost: list[float] | None = None, expand: bool = True,
-              k1: float = 1.2, b: float = 0.75) -> list[tuple[int, float]]:
+              k1: float = 1.2, b: float = 0.75,
+              require_all: bool = False) -> list[tuple[int, float]]:
         """Free-text disjunctive query; returns [(doc_id, score)] in
         canonical (score desc, doc_id asc) order, optionally top-k.
         ``expand=False`` disables prefix expansion (exact-term mode, an
-        extension over the reference used for SQL-checkable oracles)."""
+        extension over the reference used for SQL-checkable oracles).
+        ``require_all=True`` switches to conjunctive (AND) semantics —
+        only docs matching EVERY query term (any expansion counts) are
+        returned, scored identically to the disjunctive path (an
+        extension; the reference is OR-only)."""
         fields_boost = fields_boost or [1.0] * self.num_fields
         query_terms = self.tokenizer.py_fn(q)
         qlen = len(query_terms)  # includes empty tokens (src/query.rs:32)
         n_docs = self.stats.num_docs
         avgs = [self.stats.field_avg(f) for f in range(self.num_fields)]
 
+        restrict = None
+        if require_all:
+            restrict = self._conjunctive_candidates(query_terms, expand)
+            if restrict is not None and not len(restrict):
+                return []
+
         if scorer == "bm25":
             docs, scores = self._query_bm25(query_terms, fields_boost,
-                                            n_docs, avgs, k1, b, expand, k)
+                                            n_docs, avgs, k1, b, expand, k,
+                                            restrict_docs=restrict)
             # canonical (score desc, doc_id asc) + top-k in numpy — no
             # Python materialization of the full result set
             if k is not None and len(docs) > k:
@@ -1028,8 +1060,36 @@ class SearchEngine:
                                      avgs, n_docs, expand)
         else:
             raise ValueError(f"unknown scorer {scorer!r}")
+        if restrict is not None:
+            keep = set(int(d) for d in restrict)
+            res = [r for r in res if int(r[0]) in keep]
         res.sort(key=lambda r: (-r[1], r[0]))
         return res[:k] if k is not None else res
+
+    def _conjunctive_candidates(self, query_terms, expand):
+        """Doc ids matching EVERY distinct non-empty query term (a doc
+        matches a term if it appears in any of its expansions'
+        postings).  One ``union_docs`` fan-out per term (O(df) ids per
+        shard), intersections folded on the coordinator; the result is
+        O(min df) and restricts all later scoring."""
+        cand = None
+        seen = set()
+        for term in query_terms:
+            if term == "" or term in seen:
+                continue
+            seen.add(term)
+            ordered, _ = self._expansions_for(term, expand)
+            if not ordered:
+                return np.empty(0, np.uint64)
+            parts = [d for d in self._call("union_docs", ordered, self.tomb)
+                     if len(d)]
+            docs = np.unique(np.concatenate(parts)) if parts else \
+                np.empty(0, np.uint64)
+            cand = docs if cand is None else \
+                np.intersect1d(cand, docs, assume_unique=True)
+            if cand is not None and not len(cand):
+                return cand
+        return cand
 
     # .. BM25 ..............................................................
 
@@ -1127,7 +1187,7 @@ class SearchEngine:
         return s * idf_boosts
 
     def _query_bm25(self, query_terms, fields_boost, n_docs, avgs, k1, b,
-                    expand, k=None):
+                    expand, k=None, restrict_docs=None):
         term_infos = []
         for term in query_terms:
             if term == "":
@@ -1164,7 +1224,9 @@ class SearchEngine:
                     tfm, lmn, idf_boosts, fields_boost, avgs, k1, b).max()))
         g_docs = np.empty(0, dtype=np.uint64)
         g_scores = np.empty(0, dtype=np.float64)
-        only_docs = None
+        # conjunctive restriction (if any) applies from the first term;
+        # the TAAT suffix restriction below can only tighten it further
+        only_docs = restrict_docs
         for ti, (term, ordered, idf_boosts) in enumerate(term_infos):
             if prune:
                 # process expansions in descending score upper bound;

@@ -384,3 +384,44 @@ def test_full_cache_serves_shard_ranges(tmp_path):
                        f"fullcache:{q!r}")
     # the sharded load did NOT create range-specific cache dirs
     assert os.listdir(os.path.join(idx, "cache")) == cache_dirs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_conjunctive_query(tmp_path):
+    """require_all=True returns exactly the disjunctive results whose
+    docs carry EVERY query term (any expansion counts), with identical
+    scores — across plain, sharded and top-k paths."""
+    rng = np.random.default_rng(53)
+    vocab = np.array(["alpha", "alp", "beta", "gamma", "delta", "eps"])
+    corpus = _rand_corpus(rng, 80, 1, vocab)
+    eng = build_engine(tmp_path, corpus)
+
+    def has_all(doc_id, terms, expand):
+        toks = corpus[doc_id][0].split()
+        return all(any(t == q or (expand and t.startswith(q)) for t in toks)
+                   for q in terms)
+
+    for q, expand in [("alpha beta", False), ("alp gamma", True),
+                      ("alpha beta gamma", False)]:
+        full = eng.query(q, "bm25", expand=expand)
+        conj = eng.query(q, "bm25", expand=expand, require_all=True)
+        want = [(d, s) for d, s in full if has_all(d, q.split(), expand)]
+        assert_results(conj, want, f"conj:{q!r}")
+        # top-k path agrees with the head of the full conjunctive list
+        topk = eng.query(q, "bm25", expand=expand, require_all=True, k=3)
+        assert_results(topk, want[:3], f"conj-k:{q!r}")
+
+    # a term absent from the corpus empties the conjunction
+    assert eng.query("alpha zzz", "bm25", require_all=True) == []
+    # sharded engine agrees
+    eng3 = SearchEngine(eng.index_dir, num_shards=3)
+    assert_results(eng3.query("alpha beta", "bm25", require_all=True),
+                   eng.query("alpha beta", "bm25", require_all=True),
+                   "conj-sharded")
+    # zero_to_one path honors the restriction too
+    z_full = eng.query("alpha beta", "zero_to_one", expand=False)
+    z_conj = eng.query("alpha beta", "zero_to_one", expand=False,
+                       require_all=True)
+    z_want = [(d, s) for d, s in z_full
+              if has_all(d, ["alpha", "beta"], False)]
+    assert_results(z_conj, z_want, "conj-z2o")
