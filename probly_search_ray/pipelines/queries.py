@@ -141,6 +141,19 @@ def bm25_conjunctive(sf_dir: str):
                          "score": [round(s, 6) for _, s in res]})
 
 
+def bm25_doc_sharded(sf_dir: str):
+    """Multi-term BM25 through the DOC-sharded serving layout
+    (``SearchEngine(doc_shards=4, use_actors=True)`` — full dictionary
+    per shard, postings hash-partitioned by doc id; SCALE.md's
+    beyond-one-node shape).  Must be bit-identical to ``bm25_exact``,
+    so it shares that oracle."""
+    eng = SearchEngine(_engine(sf_dir).index_dir, doc_shards=4,
+                       use_actors=True)
+    res = eng.query(" ".join(BM25_QUERY_TERMS), "bm25", expand=False)
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
 def index_postings(sf_dir: str):
     """Index-as-dataset export: read the committed term-shard parquet
     files back as a Ray Dataset and decode the posting blocks
@@ -883,6 +896,7 @@ QUERIES = {
     "pack_shards": pack_shards,
     "sample_stratified": sample_stratified,
     "bm25_conjunctive": bm25_conjunctive,
+    "bm25_doc_sharded": bm25_doc_sharded,
     "index_postings": index_postings,
 }
 
@@ -1397,3 +1411,7 @@ ORACLES = {
         FROM u JOIN dl USING (doc_id) GROUP BY u.term, u.doc_id
     """,
 }
+
+# the doc-sharded layout must be BIT-IDENTICAL to the default engine,
+# so it is pinned against the very same SQL
+ORACLES["bm25_doc_sharded"] = ORACLES["bm25_exact"]

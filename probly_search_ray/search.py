@@ -62,11 +62,26 @@ class ShardData:
     rounds, segmented cumsum for the doc-id deltas)."""
 
     def __init__(self, index_dir: str, term_lo: str | None = None,
-                 term_hi: str | None = None, use_cache: bool = True):
+                 term_hi: str | None = None, use_cache: bool = True,
+                 doc_mod: tuple[int, int] | None = None):
+        """``doc_mod=(i, D)``: DOC-sharded view — keep the FULL term
+        dictionary (terms/df/first_pos/impact bounds stay the GLOBAL
+        values) but restrict postings to docs with ``doc_id % D == i``.
+        This is the 10^12-doc serving layout from SCALE.md: every doc's
+        records live wholly in one shard, so cross-term intersection,
+        accumulator merges and per-doc reductions are shard-local, and
+        per-query coordinator traffic is D·k rows instead of O(df).
+        Hash (mod) partitioning balances arbitrary/skewed id spaces
+        with no quantile estimation.  Mutually exclusive with a term
+        range; the view is derived from the full-range CSR cache (or a
+        fresh decode) and never writes range-specific caches."""
         from probly_search_ray.functions.codec import FORMAT_VERSION
         from probly_search_ray.functions.mem import tune_allocator
         tune_allocator()  # shard actors are fresh processes; reuse arena
         # pages so per-query numpy temporaries don't re-fault cold pages
+        if doc_mod is not None and (term_lo, term_hi) != (None, None):
+            raise ValueError("doc_mod and a term range are exclusive")
+        self._doc_mod = doc_mod
         man = Manifest(index_dir)
         if not man.data["config"]:
             raise FileNotFoundError(
@@ -88,6 +103,7 @@ class ShardData:
             self._cache_dir = self._cache_path(index_dir, man,
                                                term_lo, term_hi)
             if self._load_from_cache(self._cache_dir):
+                self._apply_doc_mod()
                 return
             if (term_lo, term_hi) != (None, None):
                 # a FULL-range cache serves any shard layout: memmap it
@@ -135,8 +151,9 @@ class ShardData:
         if not len(full):
             return
         self._load_csr(full, F)
-        if self._cache_dir:
+        if self._cache_dir and self._doc_mod is None:
             self._write_cache(self._cache_dir)
+        self._apply_doc_mod()
 
     # -- mmap'd decoded-CSR cache ------------------------------------------
 
@@ -209,6 +226,23 @@ class ShardData:
             return True
         except (OSError, ValueError):
             return False
+
+    def _apply_doc_mod(self) -> None:
+        """Restrict postings to this view's hash partition of the doc
+        space (``doc_id % D == i``) — one vectorized pass; dictionary
+        and per-term stats keep their GLOBAL values (df/idf/bounds must
+        not depend on the shard layout)."""
+        if self._doc_mod is None or not len(self.p_docs):
+            return
+        i, D = self._doc_mod
+        docs = np.asarray(self.p_docs)
+        m = (docs % np.uint64(D)) == np.uint64(i)
+        kept = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum(m, out=kept[1:])
+        self.post_off = kept[np.asarray(self.post_off)]
+        self.p_docs = docs[m]
+        self.p_tf = [np.asarray(t)[m] for t in self.p_tf]
+        self.p_len = [np.asarray(li)[m] for li in self.p_len]
 
     # rows per decode chunk: bounds the varint-scan temporaries (which
     # the tuned allocator then REUSES across chunks) — an unchunked scan
@@ -539,6 +573,27 @@ class ShardData:
 
     def df_adjusted_many(self, terms: list[str], tomb: np.ndarray) -> list[int]:
         return [self.df_adjusted(t, tomb) for t in terms]
+
+    def tomb_hits_many(self, terms: list[str], tomb: np.ndarray) -> np.ndarray:
+        """Occurrence-counted df mass carried by THIS shard's
+        tombstoned postings, per term.  A doc-sharded coordinator sums
+        these across shards and subtracts from the global dictionary df
+        (each doc's postings live wholly in one shard, so the sum is
+        exactly the global adjustment of ``df_adjusted``)."""
+        out = np.zeros(len(terms), dtype=np.int64)
+        if not len(tomb):
+            return out
+        for j, t in enumerate(terms):
+            i = self._term_index(t)
+            if i < 0:
+                continue
+            lo, hi = self.post_off[i], self.post_off[i + 1]
+            mask = _in_sorted(self.p_docs[lo:hi], tomb)
+            acc = 0
+            for tf in self.p_tf:
+                acc += int(tf[lo:hi][mask].astype(np.int64).sum())
+            out[j] = acc
+        return out
 
     def bounds_arrays(self, terms: list[str]):
         """Per-term impact-bound inputs as ARRAYS: (present bool[n],
@@ -891,15 +946,28 @@ class SearchEngine:
 
     def __init__(self, index_dir: str, num_shards: int = 1,
                  use_actors: bool = False, shard_handles=None,
-                 prefault: bool = False):
+                 prefault: bool = False, doc_shards: int = 0):
         """``shard_handles``: pre-created ``ShardData`` actor handles to
         SHARE across engines (e.g. many bulk-search coordinators over
         one resident shard pool) instead of loading the index again.
         ``prefault=True`` touches every posting page at startup (a
         serving replica's warmup) so queries never pay lazy mmap
-        page-in; default off keeps engine start metadata-only."""
+        page-in; default off keeps engine start metadata-only.
+
+        ``doc_shards=D``: DOC-sharded serving (SCALE.md "what would
+        change first beyond one node") — D shards each hold the full
+        term dictionary but only the postings of docs with
+        ``doc_id % D == i``.  All of a doc's records are shard-local,
+        so per-doc reductions, the TAAT accumulator and conjunctive
+        intersection never cross shards, and stopword-scale merges
+        shrink from O(df) coordinator rows to D·k.  Results are
+        bit-identical to the default layout (df/idf/stats stay global).
+        Mutually exclusive with ``num_shards > 1``."""
+        if doc_shards and num_shards > 1:
+            raise ValueError("doc_shards and num_shards>1 are exclusive")
         self.index_dir = index_dir
         self.num_shards = num_shards
+        self.doc_shards = int(doc_shards)
         self.use_actors = use_actors or shard_handles is not None
         self._shared_handles = shard_handles
         self._prefault = prefault
@@ -922,22 +990,26 @@ class SearchEngine:
             self.shards = list(self._shared_handles)
             self._ray = ray
             return
-        bounds = self._shard_bounds(man, self.num_shards)
+        if self.doc_shards:
+            D = self.doc_shards
+            kwargs = [dict(doc_mod=(i, D)) for i in range(D)]
+        else:
+            kwargs = [dict(term_lo=lo, term_hi=hi)
+                      for lo, hi in self._shard_bounds(man, self.num_shards)]
         if self.use_actors:
             import ray
             # size CPU requests so the whole pool always schedules, even
             # when shards outnumber available CPUs (else: deadlock)
-            avail = ray.cluster_resources().get("CPU", len(bounds))
-            cpus = max(0.1, min(1.0, (avail - 1) / max(len(bounds), 1)))
+            avail = ray.cluster_resources().get("CPU", len(kwargs))
+            cpus = max(0.1, min(1.0, (avail - 1) / max(len(kwargs), 1)))
             Actor = ray.remote(num_cpus=cpus)(ShardData)
-            self.shards = [Actor.remote(self.index_dir, lo, hi)
-                           for lo, hi in bounds]
+            self.shards = [Actor.remote(self.index_dir, **kw)
+                           for kw in kwargs]
             self._ray = ray
             if self._prefault:
                 ray.get([s.prefault.remote() for s in self.shards])
         else:
-            self.shards = [ShardData(self.index_dir, lo, hi)
-                           for lo, hi in bounds]
+            self.shards = [ShardData(self.index_dir, **kw) for kw in kwargs]
             if self._prefault:
                 for s in self.shards:
                     s.prefault()
@@ -1112,6 +1184,8 @@ class SearchEngine:
         return res
 
     def _expansions_for_uncached(self, term: str, expand: bool):
+        if self.doc_shards:
+            return self._expansions_for_doc_sharded(term, expand)
         per_shard = self._call("expand", term) if expand else None
         if expand:
             all_exp = [e for lst in per_shard for e in lst]
@@ -1140,6 +1214,33 @@ class SearchEngine:
         ordered = [t for t in ordered if df_map.get(t, 0) > 0]
         return ordered, df_map
 
+    def _expansions_for_doc_sharded(self, term: str, expand: bool):
+        """Doc-sharded metadata path: every shard holds the FULL
+        dictionary with global raw df, so expansions come from ONE
+        shard (no fan-out, no dedup); under tombstones the adjusted df
+        is ``raw_df - Σ_shards local tombstone hits`` (each doc's
+        postings are shard-local, so the sum is exact)."""
+        if expand:
+            all_exp = self._call_one(self.shards[0], "expand", term)
+        else:
+            d = self._call_one(self.shards[0], "df_adjusted", term,
+                               np.empty(0, np.uint64))
+            all_exp = [(term, int(d), 0)] if d > 0 else []
+        if not all_exp:
+            return [], {}
+        ordered = trie_expansion_order(all_exp, term) if expand \
+            else [t for t, _, _ in all_exp]
+        df_map = {t: raw for t, raw, _ in all_exp}
+        if len(self.tomb):
+            terms_list = [t for t, _, _ in all_exp]
+            hits = self._call("tomb_hits_many", terms_list, self.tomb)
+            total = np.sum(np.stack(hits), axis=0)
+            df_map = {t: int(df_map[t] - h)
+                      for t, h in zip(terms_list, total)}
+        df_map = {t: d for t, d in df_map.items() if d > 0}
+        ordered = [t for t in ordered if t in df_map]
+        return ordered, df_map
+
     def _bounds_for(self, term: str, expand: bool, ordered: list[str]):
         """Impact-bound matrices (tf_max, len_min — each (n, F) float64,
         aligned to ``ordered``) for top-k pruning; fetched LAZILY (only
@@ -1149,7 +1250,13 @@ class SearchEngine:
         key = ("__bounds__", term, expand)
         if not len(self.tomb) and key in self._exp_cache:
             return self._exp_cache[key]
-        per_shard = self._call("bounds_arrays", ordered)
+        if self.doc_shards:
+            # doc shards keep the GLOBAL per-term bounds — one shard
+            # answers for all
+            per_shard = [self._call_one(self.shards[0], "bounds_arrays",
+                                        ordered)]
+        else:
+            per_shard = self._call("bounds_arrays", ordered)
         tfm = np.zeros((len(ordered), self.num_fields), dtype=np.float64)
         lmn = np.zeros((len(ordered), self.num_fields), dtype=np.float64)
         for present, t_s, l_s in per_shard:
@@ -1373,12 +1480,27 @@ class SearchEngine:
             ordered, df_map = self._expansions_for(term, expand)
             visited: set[int] = set()
             per_shard = self._call("gather_postings_many", ordered, self.tomb)
-            by_rank = {}
+            by_rank: dict[int, list] = {}
             for lst in per_shard:
                 for i, p in lst:
                     if p is not None:
-                        by_rank[i] = p
+                        by_rank.setdefault(i, []).append(p)
             for rank in sorted(by_rank):
+                parts = by_rank[rank]
+                if len(parts) == 1:
+                    by_rank[rank] = parts[0]
+                else:
+                    # doc-sharded: shards return doc-disjoint slices of
+                    # the same posting list — restore ascending-doc
+                    # order so the newest-first walk below is faithful
+                    d_all = np.concatenate([p[0] for p in parts])
+                    o = np.argsort(d_all, kind="stable")
+                    by_rank[rank] = (
+                        d_all[o],
+                        [np.concatenate([p[1][x] for p in parts])[o]
+                         for x in range(self.num_fields)],
+                        [np.concatenate([p[2][x] for p in parts])[o]
+                         for x in range(self.num_fields)])
                 e = ordered[rank]
                 uid = node_uid.setdefault(e, len(node_uid))
                 td = TermData(qti, qlen, term, e)

@@ -425,3 +425,58 @@ def test_conjunctive_query(tmp_path):
     z_want = [(d, s) for d, s in z_full
               if has_all(d, ["alpha", "beta"], False)]
     assert_results(z_conj, z_want, "conj-z2o")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_sharded_engine(tmp_path):
+    """doc_shards=D (the SCALE.md 10^12-doc serving layout: full
+    dictionary per shard, postings hash-partitioned by doc) is
+    bit-identical to the default engine on every query path — expand /
+    exact, multi-term, top-k, conjunctive, zero_to_one — including
+    under tombstones (global df re-adjusted by summed per-shard hits)."""
+    rng = np.random.default_rng(71)
+    vocab = np.array(["alpha", "alp", "beta", "gamma", "delta", "eps",
+                      "zet", "zeta"])
+    corpus = _rand_corpus(rng, 120, 1, vocab)
+    eng = build_engine(tmp_path, corpus)
+    dse = SearchEngine(eng.index_dir, doc_shards=3)
+
+    cases = [
+        dict(q="alp", expand=True),
+        dict(q="alpha", expand=False),
+        dict(q="alpha beta gamma", expand=False),
+        dict(q="alp zet", expand=True),
+        dict(q="alp zet", expand=True, k=5),
+        dict(q="beta", expand=False, k=4),
+        dict(q="alpha beta", expand=False, require_all=True),
+        dict(q="alp gamma", expand=True, require_all=True),
+    ]
+    for c in cases:
+        q = c.pop("q")
+        assert_results(dse.query(q, "bm25", **c), eng.query(q, "bm25", **c),
+                       f"docshard:{q!r}:{c}")
+        c["q"] = q
+    assert_results(dse.query("alp beta", "zero_to_one", expand=True),
+                   eng.query("alp beta", "zero_to_one", expand=True),
+                   "docshard:z2o")
+
+    # tombstones: remove a few docs, refresh both, re-compare (df
+    # adjustment must be global, not per-shard)
+    from probly_search_ray.maintain import remove_documents
+    victims = [d for d, _ in eng.query("alpha", "bm25", k=3)]
+    assert remove_documents(eng.index_dir, victims) == len(victims)
+    eng.refresh()
+    dse.refresh()
+    for c in cases:
+        c = dict(c)
+        q = c.pop("q")
+        assert_results(dse.query(q, "bm25", **c), eng.query(q, "bm25", **c),
+                       f"docshard-tomb:{q!r}:{c}")
+    assert_results(dse.query("alp beta", "zero_to_one", expand=True),
+                   eng.query("alp beta", "zero_to_one", expand=True),
+                   "docshard-tomb:z2o")
+
+    # actor-pool doc shards agree too
+    dsa = SearchEngine(eng.index_dir, doc_shards=3, use_actors=True)
+    assert_results(dsa.query("alp zet", "bm25", k=5),
+                   eng.query("alp zet", "bm25", k=5), "docshard-actors")
