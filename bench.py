@@ -148,10 +148,31 @@ def bench_queries(idx_dir: str, num_cpus: int) -> dict:
         eng.query(q, "bm25", k=10)
         lats.append((time.perf_counter() - t0) * 1000)
     lats.sort()
-    return {"query_p50_ms": round(statistics.median(lats), 2),
-            "query_p95_ms": round(lats[int(len(lats) * 0.95)], 2),
-            "num_queries": len(lats),
-            "pool_start_prefault_sec": prefault_sec}
+    res = {"query_p50_ms": round(statistics.median(lats), 2),
+           "query_p95_ms": round(lats[int(len(lats) * 0.95)], 2),
+           "num_queries": len(lats),
+           "pool_start_prefault_sec": prefault_sec}
+    # doc-sharded layout (SCALE.md beyond-one-node shape) over the same
+    # query mix — evidences that the multi-node serving layout holds
+    # the latency bar, not just matches results
+    del eng
+    t0 = time.perf_counter()
+    dse = SearchEngine(idx_dir, doc_shards=min(8, max(2, num_cpus // 4)),
+                       use_actors=True, prefault=True)
+    ds_prefault = round(time.perf_counter() - t0, 2)
+    for q in qs[:10]:
+        dse.query(q, "bm25", k=10)
+    dlats = []
+    for q in qs:
+        t0 = time.perf_counter()
+        dse.query(q, "bm25", k=10)
+        dlats.append((time.perf_counter() - t0) * 1000)
+    dlats.sort()
+    res["doc_sharded"] = {
+        "query_p50_ms": round(statistics.median(dlats), 2),
+        "query_p95_ms": round(dlats[int(len(dlats) * 0.95)], 2),
+        "pool_start_prefault_sec": ds_prefault}
+    return res
 
 
 def bench_pipelines(sf_dir: str) -> dict:

@@ -56,7 +56,8 @@ def cmd_query(args):
     _ensure_ray()
     from probly_search_ray.search import SearchEngine
     eng = SearchEngine(args.index, num_shards=args.shards,
-                       use_actors=args.actors)
+                       use_actors=args.actors or args.doc_shards > 0,
+                       doc_shards=args.doc_shards)
     res = eng.query(args.query, args.scorer, k=args.k)
     print(json.dumps([{"doc_id": d, "score": s} for d, s in res]))
 
@@ -122,6 +123,9 @@ def main(argv=None):
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--shards", type=int, default=1)
     q.add_argument("--actors", action="store_true")
+    q.add_argument("--doc-shards", type=int, default=0,
+                   help="doc-sharded serving layout (hash-partitioned "
+                        "postings, full dictionary per shard)")
     q.set_defaults(fn=cmd_query)
 
     r = sub.add_parser("remove", help="tombstone a document")

@@ -69,10 +69,14 @@ class ShardedBulkSearcher:
     ``fn_constructor_args``."""
 
     def __init__(self, index_dir: str, shard_handles, scorer: str,
-                 k: int | None, expand: bool):
+                 k: int | None, expand: bool, doc_shards: int = 0):
         tune_allocator()
         from probly_search_ray.search import SearchEngine
-        self.eng = SearchEngine(index_dir, shard_handles=shard_handles)
+        # doc_shards tells the coordinator which LAYOUT the shared pool
+        # uses (term-range vs doc-hash) so it picks the matching
+        # metadata path; the handles themselves are layout-agnostic
+        self.eng = SearchEngine(index_dir, shard_handles=shard_handles,
+                                doc_shards=doc_shards)
         self.scorer = scorer
         self.k = k
         self.expand = expand
@@ -83,7 +87,8 @@ class ShardedBulkSearcher:
 def bulk_search(queries_ds, index_dir: str, scorer: str = "bm25",
                 k: int | None = 10, concurrency: int = 4,
                 batch_size: int = 64, expand: bool = True,
-                num_shards: int | None = None):
+                num_shards: int | None = None,
+                doc_shards: int | None = None):
     """queries_ds: Dataset with (query_id:int64, query:string) →
     Dataset of (query_id, rank, doc_id, score).
 
@@ -91,8 +96,13 @@ def bulk_search(queries_ds, index_dir: str, scorer: str = "bm25",
     when the index fits one worker).  ``num_shards=S``: ONE shared
     S-shard actor pool holds the index; the map_batches actors are
     thin coordinators over it (the multi-node shape — index memory is
-    paid once, not once per bulk actor)."""
-    if num_shards is None:
+    paid once, not once per bulk actor).  ``doc_shards=D``: same
+    resident-pool shape but DOC-hash-partitioned shards (the 10^12-doc
+    layout — per-doc work stays shard-local, coordinator merges D·k
+    rows per query); exclusive with ``num_shards``."""
+    if num_shards is not None and doc_shards is not None:
+        raise ValueError("num_shards and doc_shards are exclusive")
+    if num_shards is None and doc_shards is None:
         # small query sets often arrive as one block — split so the
         # actor pool actually parallelizes.  (The sharded branch skips
         # this: its resident shard pool reserves most CPUs by design,
@@ -106,14 +116,16 @@ def bulk_search(queries_ds, index_dir: str, scorer: str = "bm25",
     from probly_search_ray.search import SearchEngine
     # keep the shard pool alive past this frame: actor handles are
     # ref-counted, and the returned Dataset is lazy
-    pool_owner = _POOLS.get((index_dir, num_shards))
+    key = (index_dir, num_shards, doc_shards)
+    pool_owner = _POOLS.get(key)
     if pool_owner is None:
-        pool_owner = SearchEngine(index_dir, num_shards=num_shards,
+        pool_owner = SearchEngine(index_dir, num_shards=num_shards or 1,
+                                  doc_shards=doc_shards or 0,
                                   use_actors=True)
-        _POOLS[(index_dir, num_shards)] = pool_owner
+        _POOLS[key] = pool_owner
     return queries_ds.map_batches(
         ShardedBulkSearcher,
         fn_constructor_args=(index_dir, pool_owner.shards, scorer, k,
-                             expand),
+                             expand, doc_shards or 0),
         batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency, num_cpus=0.5)

@@ -188,14 +188,21 @@ def test_bulk_search_sharded_pool(tmp_path):
         "query": ["alp", "beta g", "gamma", "al"]}))
     a = bulk_search(qds, idx, k=5, concurrency=2).to_pandas() \
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    from probly_search_ray.pipelines.bulk import release_shard_pools
     try:
         b = bulk_search(qds, idx, k=5, concurrency=2, num_shards=3) \
             .to_pandas().sort_values(["query_id", "rank"]) \
             .reset_index(drop=True)
+        # release the term-sharded pool BEFORE spawning the doc-sharded
+        # one: both reserve ~all of the 4-CPU test session
+        release_shard_pools()
+        c = bulk_search(qds, idx, k=5, concurrency=2, doc_shards=3) \
+            .to_pandas().sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
     finally:
-        from probly_search_ray.pipelines.bulk import release_shard_pools
         release_shard_pools()  # free the pool's CPU reservations
     pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
 
 
 @pytest.mark.usefixtures("ray_session")
