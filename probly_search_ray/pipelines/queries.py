@@ -203,6 +203,24 @@ def index_postings(sf_dir: str):
     return ds.map_batches(decode, batch_format="pyarrow")
 
 
+def events_asof_orders(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event timestamp (ties on o_orderdate broken by max
+    o_orderkey — deterministic).  One hash-partitioned shuffle +
+    per-bucket vectorized forward-fill; see ``stages/joins.py``."""
+    from probly_search_ray.stages.joins import asof_join
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id"])
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    return asof_join(
+        ev, od, left_key="user_id", left_ts="ts",
+        right_key="o_custkey", right_ts="o_orderdate",
+        left_cols=["event_id"], right_cols=["o_orderkey", "o_totalprice"],
+        right_tie="o_orderkey")
+
+
 BULK_TERMS = ["table", "merge", "stream", "filter", "window"]
 
 
@@ -897,6 +915,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "bm25_conjunctive": bm25_conjunctive,
     "bm25_doc_sharded": bm25_doc_sharded,
+    "events_asof_orders": events_asof_orders,
     "index_postings": index_postings,
 }
 
@@ -1415,3 +1434,15 @@ ORACLES = {
 # the doc-sharded layout must be BIT-IDENTICAL to the default engine,
 # so it is pinned against the very same SQL
 ORACLES["bm25_doc_sharded"] = ORACLES["bm25_exact"]
+
+# as-of join: deterministic tie-break (max orderdate, then max
+# orderkey) so the window-function SQL is hash-stable
+ORACLES["events_asof_orders"] = """
+    SELECT event_id, o_orderkey, o_totalprice FROM (
+      SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+"""

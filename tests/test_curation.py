@@ -76,3 +76,51 @@ def test_repetition_kernel_brute_force():
         tt, tb = brute(s)
         assert out.loc[i, "top_token_frac"] == pytest.approx(tt)
         assert out.loc[i, "top_bigram_frac"] == pytest.approx(tb)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_planted():
+    """Distributed as-of join vs a brute-force reference on a random
+    corpus with PLANTED timestamp ties (same key, same right ts →
+    deterministic max-tie winner) and keyless left rows (dropped)."""
+    from probly_search_ray.stages.joins import asof_join
+    rng = np.random.default_rng(17)
+    nl, nr = 300, 200
+    lk = rng.integers(0, 20, nl)
+    lts = rng.integers(1000, 2000, nl)
+    rk = rng.integers(0, 25, nr)          # keys 20..24 never match left
+    rts = rng.integers(900, 2100, nr)
+    rts[:40] = np.repeat(rts[:8], 5)      # planted ties
+    rk[:40] = np.repeat(rk[:8], 5)
+    left = pd.DataFrame({
+        "event_id": np.arange(nl, dtype=np.int64), "user_id": lk,
+        "ts": pd.to_datetime(lts, unit="s")})
+    right = pd.DataFrame({
+        "o_orderkey": np.arange(nr, dtype=np.int64), "o_custkey": rk,
+        "o_orderdate": pd.to_datetime(rts, unit="s"),
+        "o_totalprice": rng.random(nr).round(6)})
+    got = asof_join(
+        ray.data.from_pandas(left).repartition(5),
+        ray.data.from_pandas(right).repartition(4),
+        left_key="user_id", left_ts="ts", right_key="o_custkey",
+        right_ts="o_orderdate", left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_tie="o_orderkey", num_buckets=7) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    # brute force: per left row, max (ts, tie) among matching rights
+    want = []
+    for i in range(nl):
+        m = (rk == lk[i]) & (rts <= lts[i])
+        if not m.any():
+            continue
+        idx = np.flatnonzero(m)
+        best = idx[np.lexsort((idx, rts[idx]))[-1]]
+        want.append((i, best, right["o_totalprice"][best]))
+    want = pd.DataFrame(want, columns=["event_id", "o_orderkey",
+                                       "o_totalprice"])
+    assert len(got) == len(want)
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["o_orderkey"].to_numpy()
+            == want["o_orderkey"].to_numpy()).all()
+    assert np.allclose(got["o_totalprice"], want["o_totalprice"])
