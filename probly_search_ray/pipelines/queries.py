@@ -221,6 +221,23 @@ def events_asof_orders(sf_dir: str):
         right_tie="o_orderkey")
 
 
+def events_window_orders(sf_dir: str):
+    """Range join + aggregate: per event, count and total value of the
+    user's orders in the trailing 30 days (inclusive).  Sweep-line
+    kernel over one hash shuffle; see ``stages/joins.py``."""
+    from probly_search_ray.stages.joins import range_join_agg
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id"])
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    return range_join_agg(
+        ev, od, left_key="user_id", left_ts="ts",
+        right_key="o_custkey", right_ts="o_orderdate",
+        left_id="event_id", right_val="o_totalprice",
+        window_us=9500 * 86_400 * 1_000_000)
+
+
 BULK_TERMS = ["table", "merge", "stream", "filter", "window"]
 
 
@@ -916,6 +933,7 @@ QUERIES = {
     "bm25_conjunctive": bm25_conjunctive,
     "bm25_doc_sharded": bm25_doc_sharded,
     "events_asof_orders": events_asof_orders,
+    "events_window_orders": events_window_orders,
     "index_postings": index_postings,
 }
 
@@ -1445,4 +1463,16 @@ ORACLES["events_asof_orders"] = """
       FROM events e JOIN orders o
         ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
     ) WHERE rn = 1
+"""
+
+# trailing-window range join + aggregate (left semantics: events with
+# an empty window kept with zeros); 9500 days spans the tables' epoch gap
+ORACLES["events_window_orders"] = """
+    SELECT e.event_id,
+           count(o.o_custkey)::BIGINT AS n_matched,
+           round(coalesce(sum(o.o_totalprice), 0), 6) AS sum_val
+    FROM events e LEFT JOIN orders o
+      ON e.user_id = o.o_custkey
+     AND o.o_orderdate BETWEEN e.ts - INTERVAL 9500 DAY AND e.ts
+    GROUP BY e.event_id
 """

@@ -122,3 +122,88 @@ def asof_join(left_ds, right_ds, *, left_key: str, left_ts: str,
 
     return ln.union(rn).groupby("_ub").map_groups(
         merge_bucket, batch_format="pandas")
+
+
+def range_join_agg(left_ds, right_ds, *, left_key: str, left_ts: str,
+                   right_key: str, right_ts: str, left_id: str,
+                   right_val: str, window_us: int,
+                   num_buckets: int = 64):
+    """Trailing-window interval join + aggregate: for each left row,
+    the COUNT and SUM(``right_val``) of right rows with the same key
+    and ``right_ts`` in ``[left_ts - window, left_ts]`` (inclusive).
+    → Dataset (left_id, n_matched, sum_val); left rows with an empty
+    window are kept with zeros (left semantics).
+
+    Same partitioning contract as ``asof_join`` (one hash shuffle),
+    but the per-bucket kernel is a SWEEP: each left row becomes two
+    boundary markers (window-lo sorts before, window-hi after, right
+    rows at the same timestamp), one lexsort orders (key, ts, marker),
+    and running cumsums of right count/value make every window
+    aggregate a difference of two gathered prefix values — O(n log n)
+    per bucket, zero per-row Python."""
+    def norm_left(b: pa.Table) -> pa.Table:
+        k = b[left_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = b[left_ts].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ev = b[left_id].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(b)
+        k2 = np.concatenate((k, k))
+        return pa.table({
+            "_ub": pa.array((k2 % num_buckets).astype(np.int64)),
+            "_k": pa.array(k2),
+            "_ts": pa.array(np.concatenate((ts - window_us, ts))),
+            "_m": pa.array(np.concatenate((
+                np.zeros(n, np.int8), np.full(n, 2, np.int8)))),
+            "_id": pa.array(np.concatenate((ev, ev))),
+            "_val": pa.array(np.zeros(2 * n, np.float64)),
+        })
+
+    def norm_right(b: pa.Table) -> pa.Table:
+        k = b[right_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = b[right_ts].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = b[right_val].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        n = len(b)
+        return pa.table({
+            "_ub": pa.array((k % num_buckets).astype(np.int64)),
+            "_k": pa.array(k),
+            "_ts": pa.array(ts),
+            "_m": pa.array(np.ones(n, np.int8)),
+            "_id": pa.array(np.zeros(n, np.int64)),
+            "_val": pa.array(v),
+        })
+
+    def sweep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "_lid": pd.Series(dtype=np.int64),
+                "n_matched": pd.Series(dtype=np.int64),
+                "sum_val": pd.Series(dtype=np.float64)})
+        k = g["_k"].to_numpy()
+        ts = g["_ts"].to_numpy()
+        m = g["_m"].to_numpy()
+        order = np.lexsort((m, ts, k))
+        m_s = m[order]
+        is_r = m_s == 1
+        val_s = g["_val"].to_numpy()[order]
+        cnt = np.cumsum(is_r)
+        sm = np.cumsum(np.where(is_r, val_s, 0.0))
+        ev_s = g["_id"].to_numpy()[order]
+        lo_p = np.flatnonzero(m_s == 0)
+        hi_p = np.flatnonzero(m_s == 2)
+        # pair lo/hi markers of the same left row by its unique id
+        lo_o = lo_p[np.argsort(ev_s[lo_p])]
+        hi_o = hi_p[np.argsort(ev_s[hi_p])]
+        return pd.DataFrame({
+            "_lid": ev_s[hi_o],
+            "n_matched": (cnt[hi_o] - cnt[lo_o]).astype(np.int64),
+            "sum_val": (sm[hi_o] - sm[lo_o]).round(6),
+        })
+
+    ln = left_ds.map_batches(norm_left, batch_format="pyarrow")
+    rn = right_ds.map_batches(norm_right, batch_format="pyarrow")
+    out = ln.union(rn).groupby("_ub").map_groups(
+        sweep_bucket, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.rename_columns([left_id, "n_matched", "sum_val"]),
+        batch_format="pyarrow")

@@ -124,3 +124,48 @@ def test_asof_join_planted():
     assert (got["o_orderkey"].to_numpy()
             == want["o_orderkey"].to_numpy()).all()
     assert np.allclose(got["o_totalprice"], want["o_totalprice"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_agg_planted():
+    """Sweep-line range join vs brute force: inclusive window edges,
+    empty-window left rows kept with zeros, key isolation."""
+    from probly_search_ray.stages.joins import range_join_agg
+    rng = np.random.default_rng(23)
+    nl, nr = 250, 180
+    lk = rng.integers(0, 15, nl)
+    lts = rng.integers(1000, 3000, nl)
+    rk = rng.integers(0, 18, nr)
+    rts = rng.integers(500, 3500, nr)
+    # planted boundary hits: right rows exactly AT window lo and hi
+    W = 100
+    rk[:4] = lk[:4]
+    rts[0], rts[1] = lts[0] - W, lts[1]          # inclusive edges
+    rts[2], rts[3] = lts[2] - W - 1, lts[3] + 1  # just outside
+    rv = rng.random(nr).round(6)
+    left = pd.DataFrame({
+        "event_id": np.arange(nl, dtype=np.int64), "user_id": lk,
+        "ts": pd.to_datetime(lts, unit="us")})
+    right = pd.DataFrame({
+        "o_custkey": rk, "o_orderdate": pd.to_datetime(rts, unit="us"),
+        "o_totalprice": rv})
+    got = range_join_agg(
+        ray.data.from_pandas(left).repartition(5),
+        ray.data.from_pandas(right).repartition(4),
+        left_key="user_id", left_ts="ts", right_key="o_custkey",
+        right_ts="o_orderdate", left_id="event_id",
+        right_val="o_totalprice", window_us=W, num_buckets=7) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    n_want = np.zeros(nl, dtype=np.int64)
+    s_want = np.zeros(nl)
+    for i in range(nl):
+        m = (rk == lk[i]) & (rts >= lts[i] - W) & (rts <= lts[i])
+        n_want[i] = m.sum()
+        s_want[i] = rv[m].sum()
+    assert len(got) == nl
+    assert (got["n_matched"].to_numpy() == n_want).all()
+    assert np.allclose(got["sum_val"], s_want.round(6), atol=1e-6)
+    # the planted boundary rows behaved: inclusive edges matched,
+    # outside-by-one did not
+    assert n_want[0] >= 1 and n_want[1] >= 1
