@@ -423,6 +423,27 @@ class ShardData:
             i += 1
         return out
 
+    def expand_with_bounds(self, prefix: str):
+        """``expand`` fused with the per-expansion impact bounds — one
+        RPC instead of two for the top-k query path (expansions with
+        a shared prefix are contiguous in the sorted dictionary, so
+        the bounds are plain array slices)."""
+        i0 = bisect.bisect_left(self.terms, prefix)
+        i1 = i0
+        while i1 < len(self.terms) and self.terms[i1].startswith(prefix):
+            i1 += 1
+        exp = [(self.terms[i], int(self.df[i]), int(self.first_pos[i]))
+               for i in range(i0, i1)]
+        F = self.num_fields
+        if i1 == i0:
+            z = np.zeros((0, F), dtype=np.float64)
+            return exp, z, z.copy()
+        tfm = np.stack([self.tf_max[f][i0:i1] for f in range(F)],
+                       axis=1).astype(np.float64)
+        lmn = np.stack([self.len_min[f][i0:i1] for f in range(F)],
+                       axis=1).astype(np.float64)
+        return exp, tfm, lmn
+
     def _term_index(self, term: str) -> int:
         i = bisect.bisect_left(self.terms, term)
         if i >= len(self.terms) or self.terms[i] != term:
@@ -946,7 +967,8 @@ class SearchEngine:
 
     def __init__(self, index_dir: str, num_shards: int = 1,
                  use_actors: bool = False, shard_handles=None,
-                 prefault: bool = False, doc_shards: int = 0):
+                 prefault: bool = False, doc_shards: int = 0,
+                 shard_ranges=None):
         """``shard_handles``: pre-created ``ShardData`` actor handles to
         SHARE across engines (e.g. many bulk-search coordinators over
         one resident shard pool) instead of loading the index again.
@@ -965,6 +987,7 @@ class SearchEngine:
         Mutually exclusive with ``num_shards > 1``."""
         if doc_shards and num_shards > 1:
             raise ValueError("doc_shards and num_shards>1 are exclusive")
+        self._shared_ranges = shard_ranges
         self.index_dir = index_dir
         self.num_shards = num_shards
         self.doc_shards = int(doc_shards)
@@ -989,13 +1012,20 @@ class SearchEngine:
             import ray
             self.shards = list(self._shared_handles)
             self._ray = ray
+            # shared pools may pass their term ranges along for routing
+            # (unknown → conservative full fan-out)
+            self._ranges = getattr(self, "_shared_ranges", None)
             return
         if self.doc_shards:
             D = self.doc_shards
             kwargs = [dict(doc_mod=(i, D)) for i in range(D)]
+            self._ranges = None
         else:
-            kwargs = [dict(term_lo=lo, term_hi=hi)
-                      for lo, hi in self._shard_bounds(man, self.num_shards)]
+            bounds = self._shard_bounds(man, self.num_shards)
+            kwargs = [dict(term_lo=lo, term_hi=hi) for lo, hi in bounds]
+            # per-shard term ranges → per-term RPC routing (a unigram
+            # query touches ONE shard, not the whole pool)
+            self._ranges = bounds
         if self.use_actors:
             import ray
             # size CPU requests so the whole pool always schedules, even
@@ -1062,10 +1092,38 @@ class SearchEngine:
     # -- shard fan-out helpers --------------------------------------------
 
     def _call(self, method: str, *args):
+        return self._call_shards(self.shards, method, *args)
+
+    def _call_shards(self, shards, method: str, *args):
         if self.use_actors:
-            refs = [getattr(s, method).remote(*args) for s in self.shards]
+            refs = [getattr(s, method).remote(*args) for s in shards]
             return self._ray.get(refs)
-        return [getattr(s, method)(*args) for s in self.shards]
+        return [getattr(s, method)(*args) for s in shards]
+
+    def _route(self, term: str):
+        """Shards whose term range can contain ``term`` or any term
+        prefixed by it.  In a term-sharded pool every per-term call
+        routes here: a unigram query touches ONE shard instead of
+        broadcasting to the pool (the shape a multi-node deployment
+        needs — per-query RPC fan-out is O(terms), not O(shards)).
+        Doc-sharded / unknown-range pools fall back to full fan-out
+        (routed-away shards would only ever contribute empties, so
+        routing is a pure traffic optimization, never a semantics
+        change)."""
+        ranges = getattr(self, "_ranges", None)
+        if ranges is None or len(self.shards) == 1 or not term:
+            return self.shards
+        last = term[-1]
+        if ord(last) >= 0x10FFFF:          # unsuccessorable: stay safe
+            return self.shards
+        hi_t = term[:-1] + chr(ord(last) + 1)   # prefix-range upper bound
+        out = [s for (lo, hi), s in zip(ranges, self.shards)
+               if (hi is None or term < hi) and (lo is None or lo < hi_t)]
+        return out or [self.shards[0]]
+
+    def _call_term(self, term: str, method: str, *args):
+        """Fan a per-term call out to only the shards that can own it."""
+        return self._call_shards(self._route(term), method, *args)
 
     def _call_one(self, shard, method: str, *args):
         if self.use_actors:
@@ -1153,7 +1211,8 @@ class SearchEngine:
             ordered, _ = self._expansions_for(term, expand)
             if not ordered:
                 return np.empty(0, np.uint64)
-            parts = [d for d in self._call("union_docs", ordered, self.tomb)
+            parts = [d for d in self._call_term(term, "union_docs",
+                                                ordered, self.tomb)
                      if len(d)]
             docs = np.unique(np.concatenate(parts)) if parts else \
                 np.empty(0, np.uint64)
@@ -1164,6 +1223,62 @@ class SearchEngine:
         return cand
 
     # .. BM25 ..............................................................
+
+    def _prefetch_expansions(self, query_terms, expand: bool) -> None:
+        """Actor-pool RTT eliminator: for every uncached query term,
+        fire ONE fused ``expand_with_bounds`` RPC per routed shard —
+        all terms' requests in flight CONCURRENTLY — and populate both
+        the expansion cache and the bounds cache from the responses.
+        A k-term top-k query then costs k parallel metadata RPCs + the
+        scoring rounds, instead of 2k sequential rounds.  No-ops
+        in-process (no RTT to save), under tombstones (df needs the
+        adjusted fan-out), and for doc-sharded pools (shard 0 already
+        answers everything there)."""
+        if not self.use_actors or self.doc_shards or len(self.tomb):
+            return
+        todo, seen = [], set()
+        for t in query_terms:
+            if t and t not in seen and (t, expand) not in self._exp_cache:
+                seen.add(t)
+                todo.append(t)
+        if not todo:
+            return
+        if not expand:
+            # exact-term mode: the adjusted-df probes, all in flight
+            in_flight = [(t, [s.df_adjusted.remote(t, self.tomb)
+                              for s in self._route(t)]) for t in todo]
+            for t, refs in in_flight:
+                d = max(self._ray.get(refs), default=0)
+                entry = ([t], {t: int(d)}) if d > 0 else ([], {})
+                if len(self._exp_cache) < 65536:
+                    self._exp_cache[(t, False)] = entry
+            return
+        in_flight = [(t, [s.expand_with_bounds.remote(t)
+                          for s in self._route(t)]) for t in todo]
+        for t, refs in in_flight:
+            res = self._ray.get(refs)
+            all_exp = [e for (lst, _, _) in res for e in lst]
+            if not all_exp:
+                entry = ([], {})
+            else:
+                ordered = trie_expansion_order(all_exp, t)
+                df_map = {e: raw for e, raw, _ in all_exp}
+                ordered = [e for e in ordered if df_map.get(e, 0) > 0]
+                entry = (ordered, df_map)
+                F = self.num_fields
+                tfm = np.zeros((len(ordered), F), dtype=np.float64)
+                lmn = np.zeros((len(ordered), F), dtype=np.float64)
+                pos = {e: i for i, e in enumerate(ordered)}
+                for (lst, t_s, l_s) in res:
+                    for j, (e, _, _) in enumerate(lst):
+                        i = pos.get(e)
+                        if i is not None:
+                            tfm[i] = t_s[j]
+                            lmn[i] = l_s[j]
+                if len(self._exp_cache) < 65536:
+                    self._exp_cache[("__bounds__", t, True)] = (tfm, lmn)
+            if len(self._exp_cache) < 65536:
+                self._exp_cache[(t, True)] = entry
 
     def _expansions_for(self, term: str, expand: bool):
         """Global expansion list in reference trie order, with
@@ -1186,12 +1301,12 @@ class SearchEngine:
     def _expansions_for_uncached(self, term: str, expand: bool):
         if self.doc_shards:
             return self._expansions_for_doc_sharded(term, expand)
-        per_shard = self._call("expand", term) if expand else None
+        per_shard = self._call_term(term, "expand", term) if expand else None
         if expand:
             all_exp = [e for lst in per_shard for e in lst]
         else:
             all_exp = []
-            for shard in self.shards:
+            for shard in self._route(term):
                 d = self._call_one(shard, "df_adjusted", term, self.tomb)
                 if d > 0:
                     all_exp.append((term, d, 0))
@@ -1203,7 +1318,8 @@ class SearchEngine:
         df_map = {}
         if len(self.tomb):
             terms_list = [t for t, _, _ in all_exp]
-            per_shard = self._call("df_adjusted_many", terms_list, self.tomb)
+            per_shard = self._call_term(term, "df_adjusted_many",
+                                        terms_list, self.tomb)
             for lst in per_shard:
                 for t, d in zip(terms_list, lst):
                     if d > 0:
@@ -1256,7 +1372,7 @@ class SearchEngine:
             per_shard = [self._call_one(self.shards[0], "bounds_arrays",
                                         ordered)]
         else:
-            per_shard = self._call("bounds_arrays", ordered)
+            per_shard = self._call_term(term, "bounds_arrays", ordered)
         tfm = np.zeros((len(ordered), self.num_fields), dtype=np.float64)
         lmn = np.zeros((len(ordered), self.num_fields), dtype=np.float64)
         for present, t_s, l_s in per_shard:
@@ -1295,6 +1411,7 @@ class SearchEngine:
 
     def _query_bm25(self, query_terms, fields_boost, n_docs, avgs, k1, b,
                     expand, k=None, restrict_docs=None):
+        self._prefetch_expansions(query_terms, expand)
         term_infos = []
         for term in query_terms:
             if term == "":
@@ -1358,7 +1475,8 @@ class SearchEngine:
                         break
                     terms_c = [ordered[i] for i in chunk]
                     coefs_c = [idf_boosts[i] for i in chunk]
-                    per_shard = self._call(
+                    per_shard = self._call_term(
+                        term,
                         "score_bm25_batch", terms_c, coefs_c, fields_boost,
                         avgs, k1, b, self.tomb, False, k, float(kth))
                     dp = [d for _, d, _ in per_shard if len(d)]
@@ -1395,9 +1513,9 @@ class SearchEngine:
             # with expansion multiplicity.  Docs whose score would be
             # None in the reference are still *visited* (src/query.rs:88)
             # — f carries the raw first-record score, sign and all.
-            per_shard = self._call("score_bm25_reduced", ordered,
-                                   idf_boosts, fields_boost, avgs, k1, b,
-                                   self.tomb, only_docs)
+            per_shard = self._call_term(term, "score_bm25_reduced", ordered,
+                                        idf_boosts, fields_boost, avgs,
+                                        k1, b, self.tomb, only_docs)
             per_shard = [t for t in per_shard if len(t[0])]
             if not per_shard:
                 continue
@@ -1464,6 +1582,7 @@ class SearchEngine:
         what the reference's posting-list walk would produce.
         """
         from probly_search_ray.refmodel import FieldDetails, TermData, ZeroToOne
+        self._prefetch_expansions(query_terms, expand)
         fields = []
         for f in range(self.num_fields):
             fd = FieldDetails()
@@ -1479,7 +1598,8 @@ class SearchEngine:
                 continue
             ordered, df_map = self._expansions_for(term, expand)
             visited: set[int] = set()
-            per_shard = self._call("gather_postings_many", ordered, self.tomb)
+            per_shard = self._call_term(term, "gather_postings_many",
+                                        ordered, self.tomb)
             by_rank: dict[int, list] = {}
             for lst in per_shard:
                 for i, p in lst:
@@ -1542,6 +1662,7 @@ class SearchEngine:
         reference's stable sort: score desc, ties in insertion order =
         (query term index asc, trie-expansion rank asc) — encoded here
         as a global sequence number per (qti, expansion) batch."""
+        self._prefetch_expansions(query_terms, expand)
         node_uid: dict[str, int] = {}
         a_doc, a_field, a_score, a_qti, a_uid, a_tf, a_flen, a_seq = \
             [], [], [], [], [], [], [], []
@@ -1552,7 +1673,8 @@ class SearchEngine:
                 continue
             ordered, df_map = self._expansions_for(term, expand)
             tl = float(len(term.encode()))
-            per_shard = self._call("gather_postings_many", ordered, self.tomb)
+            per_shard = self._call_term(term, "gather_postings_many",
+                                        ordered, self.tomb)
             flat = [(i, p) for lst in per_shard for i, p in lst if p is not None]
             flat.sort(key=lambda x: x[0])  # expansion rank order
             for i, p in flat:
