@@ -1234,7 +1234,7 @@ class SearchEngine:
         in-process (no RTT to save), under tombstones (df needs the
         adjusted fan-out), and for doc-sharded pools (shard 0 already
         answers everything there)."""
-        if not self.use_actors or self.doc_shards or len(self.tomb):
+        if not self.use_actors or len(self.tomb):
             return
         todo, seen = [], set()
         for t in query_terms:
@@ -1242,6 +1242,11 @@ class SearchEngine:
                 seen.add(t)
                 todo.append(t)
         if not todo:
+            return
+        if self.doc_shards:
+            # doc shards share one global dictionary: shard 0 answers
+            # all metadata — fire every term's fused RPC concurrently
+            self._prefetch_doc_sharded(todo, expand)
             return
         if not expand:
             # exact-term mode: the adjusted-df probes, all in flight
@@ -1275,6 +1280,41 @@ class SearchEngine:
                         if i is not None:
                             tfm[i] = t_s[j]
                             lmn[i] = l_s[j]
+                if len(self._exp_cache) < 65536:
+                    self._exp_cache[("__bounds__", t, True)] = (tfm, lmn)
+            if len(self._exp_cache) < 65536:
+                self._exp_cache[(t, True)] = entry
+
+    def _prefetch_doc_sharded(self, todo, expand: bool) -> None:
+        s0 = self.shards[0]
+        if not expand:
+            refs = [(t, s0.df_adjusted.remote(t, np.empty(0, np.uint64)))
+                    for t in todo]
+            for t, r in refs:
+                d = int(self._ray.get(r))
+                entry = ([t], {t: d}) if d > 0 else ([], {})
+                if len(self._exp_cache) < 65536:
+                    self._exp_cache[(t, False)] = entry
+            return
+        refs = [(t, s0.expand_with_bounds.remote(t)) for t in todo]
+        for t, r in refs:
+            all_exp, t_s, l_s = self._ray.get(r)
+            if not all_exp:
+                entry = ([], {})
+            else:
+                ordered = trie_expansion_order(all_exp, t)
+                df_map = {e: raw for e, raw, _ in all_exp}
+                ordered = [e for e in ordered if df_map.get(e, 0) > 0]
+                entry = (ordered, df_map)
+                F = self.num_fields
+                tfm = np.zeros((len(ordered), F), dtype=np.float64)
+                lmn = np.zeros((len(ordered), F), dtype=np.float64)
+                pos = {e: i for i, e in enumerate(ordered)}
+                for j, (e, _, _) in enumerate(all_exp):
+                    i = pos.get(e)
+                    if i is not None:
+                        tfm[i] = t_s[j]
+                        lmn[i] = l_s[j]
                 if len(self._exp_cache) < 65536:
                     self._exp_cache[("__bounds__", t, True)] = (tfm, lmn)
             if len(self._exp_cache) < 65536:
