@@ -238,6 +238,45 @@ def events_window_orders(sf_dir: str):
         window_us=9500 * 86_400 * 1_000_000)
 
 
+def distinct_users_per_type(sf_dir: str):
+    """Exact distinct users per event type: per-batch vectorized pair
+    dedup (combiner) → tiny groupby → per-group nunique.  Companion
+    exact baseline for the HLL sketch entry."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+
+    def dedup(b: pa.Table) -> pa.Table:
+        t = b["event_type"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((u, t))
+        t_s, u_s = t[o], u[o]
+        first = np.concatenate(
+            ([True], (t_s[1:] != t_s[:-1]) | (u_s[1:] != u_s[:-1])))
+        return pa.table({"event_type": pa.array(t_s[first]),
+                         "user_id": pa.array(u_s[first])})
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users": [np.int64(g["user_id"].nunique())]})
+
+    return ds.map_batches(dedup, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(cnt, batch_format="pandas")
+
+
+def hll_distinct_users(sf_dir: str):
+    """APPROXIMATE distinct users per event type via HyperLogLog
+    (p=12, ~1.6% stderr) — the mergeable-sketch shape: per-(key,
+    block) 4 KiB register rows shuffle, never the raw values.  No SQL
+    oracle (approximate by design); pinned by a ≤5%-error pytest gate
+    against the exact companion and a block-layout-invariance test
+    (the hash and max-merge are deterministic)."""
+    from probly_search_ray.stages.sketches import hll_distinct
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id")
+
+
 BULK_TERMS = ["table", "merge", "stream", "filter", "window"]
 
 
@@ -934,6 +973,8 @@ QUERIES = {
     "bm25_doc_sharded": bm25_doc_sharded,
     "events_asof_orders": events_asof_orders,
     "events_window_orders": events_window_orders,
+    "distinct_users_per_type": distinct_users_per_type,
+    "hll_distinct_users": hll_distinct_users,
     "index_postings": index_postings,
 }
 
@@ -1475,4 +1516,9 @@ ORACLES["events_window_orders"] = """
       ON e.user_id = o.o_custkey
      AND o.o_orderdate BETWEEN e.ts - INTERVAL 9500 DAY AND e.ts
     GROUP BY e.event_id
+"""
+
+ORACLES["distinct_users_per_type"] = """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY event_type
 """

@@ -169,3 +169,36 @@ def test_range_join_agg_planted():
     # the planted boundary rows behaved: inclusive edges matched,
     # outside-by-one did not
     assert n_want[0] >= 1 and n_want[1] >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct():
+    """HLL sketch: ≤5% error vs exact at p=12 (~1.6% stderr), and the
+    merged registers are BLOCK-LAYOUT INVARIANT (max-merge of a
+    deterministic hash), so the estimate is exactly reproducible."""
+    from probly_search_ray.stages.sketches import (
+        hll_distinct, hll_registers, hll_estimate)
+    rng = np.random.default_rng(31)
+    rows = pd.DataFrame({
+        "event_type": np.repeat(["a", "b", "c"], [30000, 8000, 500]),
+        "user_id": np.concatenate([
+            rng.integers(0, 7000, 30000),      # ~7k distinct, heavy dups
+            rng.integers(0, 2500, 8000),
+            np.arange(500),                    # all distinct
+        ]).astype(np.int64)})
+    exact = rows.groupby("event_type")["user_id"].nunique()
+    for nblocks in (1, 7):
+        got = hll_distinct(
+            ray.data.from_pandas(rows.sample(frac=1, random_state=0))
+            .repartition(nblocks),
+            "event_type", "user_id").to_pandas() \
+            .set_index("event_type")["est_distinct"]
+        for t in ("a", "b", "c"):
+            err = abs(got[t] - exact[t]) / exact[t]
+            assert err <= 0.05, (t, got[t], exact[t], nblocks)
+    # register-level determinism: one pass == max-merge of two halves
+    vals = rng.integers(0, 10**9, 5000).astype(np.int64)
+    one = hll_registers(vals)
+    two = np.maximum(hll_registers(vals[:2000]), hll_registers(vals[2000:]))
+    assert (one == two).all()
+    assert abs(hll_estimate(one) - 5000) / 5000 < 0.05
