@@ -277,6 +277,45 @@ def hll_distinct_users(sf_dir: str):
     return hll_distinct(ds, "event_type", "user_id")
 
 
+def top_terms_sketch(sf_dir: str):
+    """Heavy-hitters scale path for ``top_terms``: per-batch truncated
+    counters with a Misra-Gries-style error bound (see
+    ``stages/sketches.py``).  At this vocab size the sketch CERTIFIES
+    exactness (no truncation ⇒ df_lo = df_hi = df), which is exactly
+    what the shared SQL oracle asserts; the truncating regime is pinned
+    by the synthetic-zipf pytest gate."""
+    from probly_search_ray.stages.sketches import topk_terms_sketch as tks
+    out, certified = tks(_docs(sf_dir, ["doc_id", "text"]), m=4096, k=20)
+    out["certified"] = np.int64(1 if certified else 0)
+    return out
+
+
+def doclen_quantiles(sf_dir: str):
+    """EXACT per-source token-length percentiles via counting-histogram
+    partials — no corpus sort, the shuffle moves (source, len, count)
+    rows only (the integer-metric quantile shape for 100 TB)."""
+    from probly_search_ray.stages.sketches import grouped_quantiles
+
+    def val_fn(b: pa.Table):
+        _, lens, _ = textstats._tokenize_flat(b)
+        return b["source"].to_numpy(zero_copy_only=False), lens
+
+    return grouped_quantiles(_docs(sf_dir, ["source", "text"]),
+                             "source", val_fn, qs=(0.5, 0.9, 0.99))
+
+
+def embedding_clusters(sf_dir: str):
+    """Distributed spherical k-means over the full embeddings table
+    (SemDedup-style semantic clustering): per-iteration partial-sum
+    rows are all that reach the driver.  No SQL oracle (iterative);
+    pinned by the numpy-differential + layout-invariance pytest."""
+    from probly_search_ray.stages.similarity import kmeans_cluster_stats
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return kmeans_cluster_stats(ds, n_clusters=8, iters=5)
+
+
 BULK_TERMS = ["table", "merge", "stream", "filter", "window"]
 
 
@@ -975,6 +1014,9 @@ QUERIES = {
     "events_window_orders": events_window_orders,
     "distinct_users_per_type": distinct_users_per_type,
     "hll_distinct_users": hll_distinct_users,
+    "top_terms_sketch": top_terms_sketch,
+    "doclen_quantiles": doclen_quantiles,
+    "embedding_clusters": embedding_clusters,
     "index_postings": index_postings,
 }
 
@@ -1521,4 +1563,22 @@ ORACLES["events_window_orders"] = """
 ORACLES["distinct_users_per_type"] = """
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
     FROM events GROUP BY event_type
+"""
+
+# the sketch certifies exactness at this vocab size (no per-batch
+# truncation ⇒ df_lo = df_hi = true df, certified = 1)
+ORACLES["top_terms_sketch"] = f"""
+    SELECT t AS term, count(*)::BIGINT AS df_lo, count(*)::BIGINT AS df_hi,
+           1::BIGINT AS certified
+    FROM (SELECT unnest({_TOK}) AS t FROM documents)
+    GROUP BY t ORDER BY df_lo DESC, term ASC LIMIT 20
+"""
+
+ORACLES["doclen_quantiles"] = f"""
+    SELECT source,
+           quantile_disc(nl, 0.5)::BIGINT AS q50,
+           quantile_disc(nl, 0.9)::BIGINT AS q90,
+           quantile_disc(nl, 0.99)::BIGINT AS q99
+    FROM (SELECT source, len({_TOK})::BIGINT AS nl FROM documents)
+    GROUP BY source
 """

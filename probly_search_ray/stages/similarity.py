@@ -128,6 +128,105 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,
     return c
 
 
+def kmeans_full(emb_ds, n_clusters: int = 8, iters: int = 5, seed: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                sample_rows: int = 2048):
+    """Distributed spherical k-means over the WHOLE dataset (Lloyd's):
+    each iteration is one ``map_batches`` pass that emits per-cluster
+    partial sums (≤ k rows of (cluster, n, float64-sum bytes) per
+    batch), merged on the driver into new centroids — the driver never
+    sees vectors, only k·n_batches tiny partial rows per iteration.
+    At 100 TB each iteration re-streams the parquet input; no
+    materialization anywhere.
+
+    Deterministic: init from ``kmeans_lite`` on a fixed sample, and the
+    driver merge sums partials in (cluster, batch-min-id) order, so the
+    result is independent of task scheduling order.
+
+    Returns (centroids float32 (k, dim), assign_fn) where assign_fn is
+    a map_batches-ready callable emitting (id_col, cluster, cosine)."""
+    sample = emb_ds.limit(sample_rows).to_pandas()[vec_col]
+    cents = kmeans_lite(np.stack(sample.to_numpy()), n_clusters, seed=seed) \
+        .astype(np.float64)
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partial(batch: pa.Table, _c_ref=c_ref) -> pa.Table:
+            c = ray.get(_c_ref)
+            m = _normalize(_to_matrix(batch[vec_col]).astype(np.float64))
+            a = np.argmax(m @ c.T, axis=1)
+            ids = batch[id_col].to_numpy()
+            lo = np.int64(ids.min()) if len(ids) else np.int64(0)
+            o = np.argsort(a, kind="stable")
+            a_s = a[o]
+            st = np.flatnonzero(np.concatenate(([True], a_s[1:] != a_s[:-1])))
+            sums = np.add.reduceat(m[o], st, axis=0)
+            n = np.diff(np.concatenate((st, [len(a_s)])))
+            return pa.table({
+                "cluster": pa.array(a_s[st].astype(np.int32)),
+                "n": pa.array(n.astype(np.int64)),
+                "lo": pa.array(np.full(len(st), lo)),
+                "vsum": pa.array([r.tobytes() for r in sums], pa.binary())})
+
+        parts = emb_ds.map_batches(partial, batch_format="pyarrow") \
+            .to_pandas().sort_values(["cluster", "lo"], kind="stable")
+        new = cents.copy()
+        for cl, g in parts.groupby("cluster", sort=True):
+            mat = np.frombuffer(b"".join(g["vsum"]), np.float64) \
+                .reshape(len(g), dim)
+            s = mat.sum(axis=0)
+            if g["n"].sum() > 0:
+                new[cl] = s  # empty clusters keep their old centroid
+        cents = _normalize(new)
+
+    c_final = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_final)
+        m = _normalize(_to_matrix(batch[vec_col]).astype(np.float64))
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int32)),
+            "cosine": pa.array(np.round(sims[np.arange(len(a)), a], 6))})
+
+    return cents.astype(np.float32), assign
+
+
+def kmeans_cluster_stats(emb_ds, n_clusters: int = 8, iters: int = 5,
+                         seed: int = 5, id_col: str = "vec_id",
+                         vec_col: str = "embedding"):
+    """→ pandas (cluster, n_vectors, mean_cosine): per-cluster sizes and
+    mean cosine-to-centroid after a full distributed k-means — the
+    partial-aggregate shape again (per-batch (cluster, n, sum_cos)
+    rows, tiny driver merge)."""
+    _, assign = kmeans_full(emb_ds, n_clusters, iters, seed,
+                            id_col=id_col, vec_col=vec_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = assign(batch)
+        a = t["cluster"].to_numpy()
+        cos = t["cosine"].to_numpy()
+        o = np.argsort(a, kind="stable")
+        a_s, c_s = a[o], cos[o]
+        st = np.flatnonzero(np.concatenate(([True], a_s[1:] != a_s[:-1])))
+        return pa.table({
+            "cluster": pa.array(a_s[st]),
+            "n": pa.array(np.diff(np.concatenate(
+                (st, [len(a_s)]))).astype(np.int64)),
+            "sum_cos": pa.array(np.add.reduceat(c_s, st))})
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("cluster", as_index=False).agg(
+        n_vectors=("n", "sum"), sum_cos=("sum_cos", "sum"))
+    g["mean_cosine"] = (g["sum_cos"] / g["n_vectors"]).round(4)
+    return g[["cluster", "n_vectors", "mean_cosine"]] \
+        .sort_values("cluster").reset_index(drop=True)
+
+
 def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", sample_rows: int = 2048):

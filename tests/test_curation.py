@@ -202,3 +202,65 @@ def test_hll_distinct():
     two = np.maximum(hll_registers(vals[:2000]), hll_registers(vals[2000:]))
     assert (one == two).all()
     assert abs(hll_estimate(one) - 5000) / 5000 < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_terms_sketch_zipf():
+    """Heavy-hitters sketch on a zipf corpus LARGE enough to force
+    per-batch truncation: bounds must always contain the true df, and
+    when the run certifies, the top-k SET must equal the exact one."""
+    from probly_search_ray.stages.sketches import topk_terms_sketch
+    rng = np.random.default_rng(7)
+    toks = np.minimum(rng.zipf(1.3, size=400_000), 30_000)
+    exact = pd.Series(toks).value_counts()
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5000, dtype=np.int64),
+        "text": ["w" + " w".join(map(str, chunk))
+                 for chunk in np.array_split(toks, 5000)]})
+    ds = ray.data.from_pandas(docs).repartition(8)
+
+    out, certified = topk_terms_sketch(ds, m=512, k=20)
+    assert len(out) == 20 and (out["df_lo"] <= out["df_hi"]).all()
+    for _, r in out.iterrows():
+        true = int(exact.get(int(r["term"][1:]), 0))
+        assert r["df_lo"] <= true <= r["df_hi"], (r["term"], true)
+    want = {"w" + str(t) for t in
+            exact.sort_values(ascending=False).head(20).index}
+    if certified:
+        assert set(out["term"]) == want
+    # zipf head is far above the truncation cut → m=512 must certify
+    assert certified
+
+    # tiny m: certification should fail but the bounds must still hold
+    out2, cert2 = topk_terms_sketch(ds, m=8, k=20)
+    for _, r in out2.iterrows():
+        true = int(exact.get(int(r["term"][1:]), 0))
+        assert r["df_lo"] <= true <= r["df_hi"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantiles_exact():
+    """Histogram quantiles == numpy lower-nearest-rank, any layout."""
+    from probly_search_ray.stages.sketches import grouped_quantiles
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "src": np.repeat(["x", "y", "z"], [4000, 1500, 7]),
+        "val": np.concatenate([
+            rng.integers(0, 120, 4000),
+            rng.poisson(40, 1500),
+            np.arange(7)]).astype(np.int64)})
+
+    def val_fn(b):
+        return (b["src"].to_numpy(zero_copy_only=False),
+                b["val"].to_numpy(zero_copy_only=False))
+
+    for nblocks in (1, 5):
+        got = grouped_quantiles(
+            ray.data.from_pandas(df.sample(frac=1, random_state=1))
+            .repartition(nblocks), "src", val_fn, qs=(0.5, 0.9, 0.99)) \
+            .to_pandas().set_index("src").sort_index()
+        for s, g in df.groupby("src"):
+            v = np.sort(g["val"].to_numpy())
+            for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+                want = v[max(int(np.ceil(q * len(v))), 1) - 1]
+                assert got.loc[s, col] == want, (s, col, nblocks)

@@ -86,3 +86,45 @@ def test_ivf_topk_recall(emb_ds):
         a = set(ivf[ivf["query_idx"] == qi]["vec_id"])
         recalls.append(len(a & b) / len(b))
     assert np.mean(recalls) >= 0.9, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_full_differential():
+    """Distributed Lloyd's == driver-side numpy Lloyd's with the same
+    deterministic init, and the result is block-layout ROBUST (partial
+    sums merge in a scheduling-independent order; float re-association
+    across batch boundaries must not move counts on separated data)."""
+    from probly_search_ray.stages.similarity import (
+        kmeans_cluster_stats, kmeans_lite, _normalize)
+    rng = np.random.default_rng(11)
+    k, dim, per = 4, 16, 300
+    centers = _normalize(rng.normal(size=(k, dim)))
+    x = np.repeat(centers, per, axis=0) + 0.05 * rng.normal(
+        size=(k * per, dim))
+    df = pd.DataFrame({"vec_id": np.arange(len(x), dtype=np.int64),
+                       "embedding": [r.astype(np.float32) for r in x]})
+
+    # driver-side reference: identical algorithm, single process
+    xn = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+    c = kmeans_lite(xn[:2048].astype(np.float32), 4).astype(np.float64)
+    for _ in range(5):
+        a = np.argmax(xn @ c.T, axis=1)
+        new = c.copy()
+        for j in range(4):
+            if (a == j).any():
+                new[j] = xn[a == j].sum(axis=0)
+        c = _normalize(new)
+    a = np.argmax(xn @ c.T, axis=1)
+    want = pd.Series(a).value_counts().sort_index()
+
+    outs = []
+    for nblocks in (1, 6):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        got = kmeans_cluster_stats(ds, n_clusters=4, iters=5)
+        assert list(got["cluster"]) == sorted(got["cluster"])
+        assert got["n_vectors"].sum() == len(x)
+        outs.append(got)
+        assert list(got["n_vectors"]) == list(want.to_numpy())
+        # members are near their center on this separated data
+        assert (got["mean_cosine"] > 0.9).all()
+    pd.testing.assert_frame_equal(outs[0], outs[1])
