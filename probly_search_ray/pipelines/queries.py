@@ -316,6 +316,30 @@ def embedding_clusters(sf_dir: str):
     return kmeans_cluster_stats(ds, n_clusters=8, iters=5)
 
 
+def semantic_dedup(sf_dir: str):
+    """SemDedup-style survivors: cluster the embeddings table with the
+    distributed k-means, drop within-cluster vectors with a lower-id
+    neighbour at cosine ≥ 0.4 (the testdata's non-vacuous threshold),
+    keep the rest.  Drop set is O(#dups): broadcast once, applied as a
+    vectorized filter in one streaming pass.  No SQL oracle (cluster
+    assignment is iterative); pinned by the planted-pair pytest gate."""
+    import ray as _ray
+    from probly_search_ray.stages.dedup import _in_sorted
+    from probly_search_ray.stages.similarity import semantic_dedup_drop_ids
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    drop_ref = _ray.put(semantic_dedup_drop_ids(ds, threshold=0.4))
+
+    def keep(t: pa.Table) -> pa.Table:
+        drops = _ray.get(drop_ref)
+        ids = t["vec_id"].to_numpy()
+        return pa.table({"vec_id": pa.array(ids[~_in_sorted(ids, drops)])})
+
+    return ds.select_columns(["vec_id"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
 BULK_TERMS = ["table", "merge", "stream", "filter", "window"]
 
 
@@ -1017,6 +1041,7 @@ QUERIES = {
     "top_terms_sketch": top_terms_sketch,
     "doclen_quantiles": doclen_quantiles,
     "embedding_clusters": embedding_clusters,
+    "semantic_dedup": semantic_dedup,
     "index_postings": index_postings,
 }
 

@@ -227,6 +227,58 @@ def kmeans_cluster_stats(emb_ds, n_clusters: int = 8, iters: int = 5,
         .sort_values("cluster").reset_index(drop=True)
 
 
+def semantic_dedup_drop_ids(emb_ds, n_clusters: int = 8, iters: int = 5,
+                            threshold: float = 0.95, seed: int = 5,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> np.ndarray:
+    """SemDedup-style semantic deduplication (cluster-then-prune, after
+    Abbas et al. 2023, arXiv:2303.09540): full-corpus spherical k-means
+    (``kmeans_full``), then WITHIN each cluster drop every vector that
+    has a lower-id vector at cosine ≥ threshold (deterministic
+    keep-lowest-id rule, one matmul per cluster group — no Python loop
+    over rows).  O(Σ cluster²) instead of O(n²); recall < 1 only when
+    a near-dup pair straddles a cluster boundary (gated by the
+    planted-pair pytest).  Returns the sorted dropped-id array —
+    O(#dups), small enough to broadcast as a filter."""
+    cents, _ = kmeans_full(emb_ds, n_clusters, iters, seed,
+                           id_col=id_col, vec_col=vec_col)
+    c_ref = ray.put(cents.astype(np.float64))
+
+    class _AssignVec:
+        def __init__(self):
+            self.c = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m32 = _to_matrix(batch[vec_col])
+            m = _normalize(m32.astype(np.float64))
+            a = np.argmax(m @ self.c.T, axis=1)
+            n, dim = m32.shape
+            vec_bytes = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(4 * dim), n,
+                [None, pa.py_buffer(np.ascontiguousarray(m32).tobytes())])
+            return pa.table({"cluster": pa.array(a.astype(np.int32)),
+                             id_col: batch[id_col],
+                             "vec_raw": vec_bytes})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.frombuffer(b"".join(g["vec_raw"]), dtype=np.float32) \
+            .reshape(len(g), -1)[order]
+        m = _normalize(m.astype(np.float64))
+        dup = np.triu(m @ m.T >= threshold, k=1).any(axis=0)
+        return pd.DataFrame({id_col: ids[dup].astype(np.int64)})
+
+    drops = emb_ds.map_batches(_AssignVec, batch_format="pyarrow",
+                               concurrency=2) \
+        .groupby("cluster").map_groups(prune, batch_format="pandas") \
+        .to_pandas()
+    if id_col not in drops.columns:
+        return np.empty(0, np.int64)
+    return np.sort(drops[id_col].to_numpy(np.int64))
+
+
 def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", sample_rows: int = 2048):

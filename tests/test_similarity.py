@@ -128,3 +128,18 @@ def test_kmeans_full_differential():
         # members are near their center on this separated data
         assert (got["mean_cosine"] > 0.9).all()
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_planted():
+    """SemDedup gate: every planted near-identical pair loses exactly
+    its higher id; no unrelated vector is dropped at cosine ≥ 0.99."""
+    from probly_search_ray.stages.similarity import semantic_dedup_drop_ids
+    m = _vectors()  # 4 planted pairs: (0,300)..(3,303) at ~0.999
+    df = pd.DataFrame({"vec_id": np.arange(len(m), dtype=np.int64),
+                       "embedding": [r.astype(np.float32) for r in m]})
+    for nblocks in (1, 4):
+        drops = semantic_dedup_drop_ids(
+            rd.from_pandas(df).repartition(nblocks),
+            n_clusters=6, iters=4, threshold=0.99)
+        assert list(drops) == [300, 301, 302, 303], nblocks
