@@ -316,6 +316,34 @@ def embedding_clusters(sf_dir: str):
     return kmeans_cluster_stats(ds, n_clusters=8, iters=5)
 
 
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_estimate(sf_dir: str):
+    """BPE-ish token counting: an RE2 word/number/punct segmentation
+    (the GPT-2 pre-tokenizer shape) counted with the C-level
+    ``pc.count_substring_regex`` kernel — the cheap tokens-per-doc
+    estimator a training-data pipeline budgets with, plus the
+    chars-per-token density signal."""
+    def f(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.fill_null("")
+        n = pc.count_substring_regex(col, _BPE_PAT)
+        nc = pc.utf8_length(col)
+        n_np = n.to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = np.round(nc.to_numpy(zero_copy_only=False)
+                         / np.maximum(n_np, 1), 6)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bpe_tokens": pa.array(n_np),
+                         "chars_per_token": pa.array(ratio)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def semantic_dedup(sf_dir: str):
     """SemDedup-style survivors: cluster the embeddings table with the
     distributed k-means, drop within-cluster vectors with a lower-id
@@ -1042,6 +1070,7 @@ QUERIES = {
     "doclen_quantiles": doclen_quantiles,
     "embedding_clusters": embedding_clusters,
     "semantic_dedup": semantic_dedup,
+    "token_estimate": token_estimate,
     "index_postings": index_postings,
 }
 
@@ -1597,6 +1626,16 @@ ORACLES["top_terms_sketch"] = f"""
            1::BIGINT AS certified
     FROM (SELECT unnest({_TOK}) AS t FROM documents)
     GROUP BY t ORDER BY df_lo DESC, term ASC LIMIT 20
+"""
+
+ORACLES["token_estimate"] = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+             AS n_bpe_tokens,
+           round(length(text)::DOUBLE / greatest(
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1), 6)
+             AS chars_per_token
+    FROM documents
 """
 
 ORACLES["doclen_quantiles"] = f"""
