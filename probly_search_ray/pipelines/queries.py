@@ -316,6 +316,13 @@ def embedding_clusters(sf_dir: str):
     return kmeans_cluster_stats(ds, n_clusters=8, iters=5)
 
 
+def dup_spans(sf_dir: str):
+    """Per-doc duplicated 5-gram span stats (Lee et al. 2021 dedup
+    signal) — join-free aggregate plan, see ``dedup.dup_span_stats``."""
+    from probly_search_ray.stages.dedup import dup_span_stats
+    return dup_span_stats(_docs(sf_dir, ["doc_id", "text"]), w=5)
+
+
 _BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -1071,6 +1078,7 @@ QUERIES = {
     "embedding_clusters": embedding_clusters,
     "semantic_dedup": semantic_dedup,
     "token_estimate": token_estimate,
+    "dup_spans": dup_spans,
     "index_postings": index_postings,
 }
 
@@ -1626,6 +1634,23 @@ ORACLES["top_terms_sketch"] = f"""
            1::BIGINT AS certified
     FROM (SELECT unnest({_TOK}) AS t FROM documents)
     GROUP BY t ORDER BY df_lo DESC, term ASC LIMIT 20
+"""
+
+ORACLES["dup_spans"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(ts) - 4),
+        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+             ts[i+3] || ' ' || ts[i+4])) AS g
+      FROM toks WHERE len(ts) >= 5),
+    tot AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+    SELECT doc_id, count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN tot.c >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_dup_spans,
+           round(sum(CASE WHEN tot.c >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_frac
+    FROM grams JOIN tot USING (g) GROUP BY doc_id
 """
 
 ORACLES["token_estimate"] = r"""

@@ -581,3 +581,76 @@ def connected_components(pairs, parts: int = 64, max_iters: int = 64):
             break
         prev = cur
     return labels
+
+
+def dup_span_stats(docs_ds, w: int = 5, text_col: str = "text"):
+    """Per-doc duplicated n-gram span statistics (the Lee et al. 2021
+    "Deduplicating Training Data" signal, arXiv:2107.06499): for every
+    doc, how many of its w-token spans also occur elsewhere in the
+    corpus (including repeats within the doc).
+
+    Join-free distributed plan — every stage is a C-level aggregate:
+      1. per batch: rolling w-gram hashes → in-batch (h, doc, c)
+         combiner rows (uint64 hashes ride the shuffle as int64 views);
+      2. groupby(h): Sum(c) + Min(doc) — a span hash with total 1 is a
+         SINGLETON owned by Min(doc) (= its only doc);
+      3. n_dup(d) = n_spans(d) − n_singletons(d), assembled by a union
+         of two per-doc partial streams through ONE groupby(doc) sum —
+         no corpus-sized join back to the pair table anywhere.
+    → Dataset (doc_id, n_spans, n_dup_spans, dup_frac) over docs with
+    ≥ 1 span (len ≥ w)."""
+    from ray.data.aggregate import Min, Sum
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        toks, lens, _ = _tokenize_flat(b, text_col)
+        h = hash_tokens_u64(toks)
+        sh, n_sh = shingle_hashes(h, lens, w)
+        doc = np.repeat(b["doc_id"].to_numpy(), n_sh)
+        key = sh.view(np.int64)
+        o = np.lexsort((doc, key))
+        k_s, d_s = key[o], doc[o]
+        st = np.flatnonzero(np.concatenate(
+            ([True], (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1]))))
+        c = np.diff(np.concatenate((st, [len(k_s)])))
+        return pa.table({"h": pa.array(k_s[st]),
+                         "doc_id": pa.array(d_s[st]),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def span_counts(b: pa.Table) -> pa.Table:
+        _, lens, _ = _tokenize_flat(b, text_col)
+        n_sh = np.maximum(lens - (w - 1), 0)
+        keep = n_sh > 0
+        return pa.table({
+            "doc_id": pa.array(b["doc_id"].to_numpy()[keep]),
+            "spans": pa.array(n_sh[keep]),
+            "sing": pa.array(np.zeros(int(keep.sum()), np.int64))})
+
+    pairs = docs_ds.map_batches(pair_rows, batch_format="pyarrow")
+    per_hash = pairs.groupby("h").aggregate(
+        Sum("c", alias_name="tot"), Min("doc_id", alias_name="d0"))
+
+    def singleton_rows(b: pa.Table) -> pa.Table:
+        m = pa.compute.equal(b["tot"], 1).to_numpy(zero_copy_only=False)
+        d = b["d0"].to_numpy(zero_copy_only=False)[m]
+        u, c = np.unique(d, return_counts=True)  # in-block combiner
+        return pa.table({"doc_id": pa.array(u.astype(np.int64)),
+                         "spans": pa.array(np.zeros(len(u), np.int64)),
+                         "sing": pa.array(c.astype(np.int64))})
+
+    sing = per_hash.map_batches(singleton_rows, batch_format="pyarrow")
+    spans = docs_ds.map_batches(span_counts, batch_format="pyarrow")
+    merged = spans.union(sing).groupby("doc_id").aggregate(
+        Sum("spans", alias_name="n_spans"),
+        Sum("sing", alias_name="n_sing"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_spans"].to_numpy(zero_copy_only=False)
+        s = b["n_sing"].to_numpy(zero_copy_only=False)
+        dup = n - s
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_spans": pa.array(n.astype(np.int64)),
+            "n_dup_spans": pa.array(dup.astype(np.int64)),
+            "dup_frac": pa.array(np.round(dup / np.maximum(n, 1), 6))})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -132,3 +132,37 @@ def test_exact_dup_drops(ray_session):
                          "text": ["x", "y", "x", "z", "y", "x"]})
     dr = exact_dup_drops(ray.data.from_pandas(docs)).to_pandas()
     assert sorted(dr["doc_id"]) == [2, 4, 5]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_span_stats_planted():
+    """Join-free dup-span plan == brute-force n-gram counting, with
+    planted cross-doc and within-doc repeats, any block layout."""
+    from probly_search_ray.stages.dedup import dup_span_stats
+    docs = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64), "text": [
+        "a b c d e f g h",          # shares 'a b c d e' with doc 1
+        "a b c d e x y z",
+        "p q r s t u v w",          # unique
+        "m n o m n o m n o m n",    # within-doc repeated 5-grams
+        "short one",                # < 5 tokens → excluded
+        "p q r s t zz qq ww",       # shares 'p q r s t' with doc 2
+    ]})
+    # brute force
+    want = {}
+    grams = {}
+    for _, r in docs.iterrows():
+        ts = r["text"].split()
+        gs = [" ".join(ts[i:i + 5]) for i in range(len(ts) - 4)]
+        if gs:
+            want[r["doc_id"]] = gs
+        for g in gs:
+            grams[g] = grams.get(g, 0) + 1
+    for nblocks in (1, 3):
+        got = dup_span_stats(
+            rd.from_pandas(docs).repartition(nblocks), w=5) \
+            .to_pandas().sort_values("doc_id").set_index("doc_id")
+        assert sorted(got.index) == sorted(want)
+        for d, gs in want.items():
+            dup = sum(1 for g in gs if grams[g] >= 2)
+            assert got.loc[d, "n_spans"] == len(gs), d
+            assert got.loc[d, "n_dup_spans"] == dup, (d, nblocks)
