@@ -340,30 +340,32 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float,
        set is unique), then per pair.
 
     The heavy payload (shingle values) only ever moves through
-    map_batches + groupby shuffles; the driver holds O(#candidate
-    pairs) — never a shingle dict, never a per-pair Python loop.  At
-    extreme pair counts steps 2-4 loop per ``pair_chunk`` pairs against
-    the same materialized shingle table, so the membership broadcast
-    stays bounded (~32·pair_chunk bytes) regardless of pair volume."""
+    map_batches + groupby shuffles.  The pair list itself stays in the
+    OBJECT STORE (materialized once, spillable): the candidate-id
+    union comes from a distributed per-batch-unique pass, and the
+    verify loop streams ``pair_chunk``-sized pair batches via
+    ``iter_batches`` — the driver's peak state is one pair chunk plus
+    the verified survivors, never the full candidate pair list, never
+    a shingle dict, never a per-pair Python loop."""
     empty = pd.DataFrame({**_EMPTY_PAIRS,
                           "jaccard": pd.Series(dtype=np.float64)})
     if pairs_ds is None:
         return empty
-    pairs = pairs_ds.to_pandas()
-    if not len(pairs):
+    pairs_ds = pairs_ds.materialize()  # consumed twice: ids pass + verify
+
+    # distributed candidate-id union (driver sees per-batch uniques)
+    def batch_ids(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            (t["a"].to_numpy(), t["b"].to_numpy())).astype(np.int64))
+        return pa.table({"id": pa.array(u)})
+
+    ids = pairs_ds.map_batches(batch_ids, batch_format="pyarrow").to_pandas()
+    if not len(ids):
         return empty
-    a = pairs["a"].to_numpy().astype(np.int64)
-    b = pairs["b"].to_numpy().astype(np.int64)
-    npairs = len(a)
+    cand = np.unique(ids["id"].to_numpy())
 
-    # union of all chunks' candidate ids → ONE corpus pass
-    cand = np.unique(np.concatenate((a, b)))
+    # candidate shingle sets: ONE corpus pass, object-store resident
     sh_ds = _candidate_shingles(docs_ds, cand, w, text_col).materialize()
-
-    inter = np.empty(npairs, dtype=np.int64)
-    for lo in range(0, npairs, pair_chunk):
-        hi = min(lo + pair_chunk, npairs)
-        inter[lo:hi] = _verify_chunk(sh_ds, a[lo:hi], b[lo:hi])
 
     # per-candidate set sizes (O(#candidates) driver rows)
     sizes = sh_ds.map_batches(
@@ -372,15 +374,26 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float,
         batch_format="pyarrow").to_pandas()
     n_by = np.zeros(len(cand), dtype=np.int64)
     n_by[np.searchsorted(cand, sizes["id"].to_numpy())] = sizes["n"].to_numpy()
-    na = n_by[np.searchsorted(cand, a)]
-    nb = n_by[np.searchsorted(cand, b)]
-    union = na + nb - inter
-    j = inter / np.maximum(union, 1)
-    m = (j >= threshold) & (na > 0) & (nb > 0)
-    if not m.any():
+
+    outs = []
+    for pb in pairs_ds.iter_batches(batch_size=pair_chunk,
+                                    batch_format="pyarrow"):
+        a = pb["a"].to_numpy().astype(np.int64)
+        b = pb["b"].to_numpy().astype(np.int64)
+        if not len(a):
+            continue
+        inter = _verify_chunk(sh_ds, a, b)
+        na = n_by[np.searchsorted(cand, a)]
+        nb = n_by[np.searchsorted(cand, b)]
+        union = na + nb - inter
+        j = inter / np.maximum(union, 1)
+        m = (j >= threshold) & (na > 0) & (nb > 0)
+        if m.any():
+            outs.append(pd.DataFrame({"a": a[m], "b": b[m],
+                                      "jaccard": np.round(j[m], 6)}))
+    if not outs:
         return empty
-    out = pd.DataFrame({"a": a[m], "b": b[m],
-                        "jaccard": np.round(j[m], 6)})
+    out = pd.concat(outs, ignore_index=True)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
