@@ -701,9 +701,14 @@ def events_sliding(sf_dir: str):
         .groupby(["event_type", "window_start"]) \
         .aggregate(Sum("n_part", alias_name="n"),
                    Sum("sum_part", alias_name="sum_value"))
-    pdf = agg.to_pandas()
-    pdf["sum_value"] = pdf["sum_value"].round(6)
-    return pdf
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(6)
+        return df
+
+    # stays a streaming Dataset: the window table is #types × #windows
+    # rows (grows with corpus duration) — round in-stream, no driver pull
+    return agg.map_batches(rnd, batch_format="pandas")
 
 
 def tfidf_top3(sf_dir: str):
@@ -833,9 +838,12 @@ def events_hourly(sf_dir: str):
     agg = ds.map_batches(add_window, batch_format="pyarrow") \
         .groupby(["event_type", "window_start"]) \
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-    pdf = agg.to_pandas()
-    pdf["sum_value"] = pdf["sum_value"].round(6)
-    return pdf
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(6)
+        return df
+
+    return agg.map_batches(rnd, batch_format="pandas")
 
 
 def sessions(sf_dir: str):
