@@ -1679,3 +1679,123 @@ ORACLES["doclen_quantiles"] = f"""
     FROM (SELECT source, len({_TOK})::BIGINT AS nl FROM documents)
     GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# round-3 continuation: fulltext extensions (autocomplete / fuzzy / phrase)
+# + per-source quota cap
+# ---------------------------------------------------------------------------
+
+AUTOCOMPLETE_PREFIX = "s"   # completes to scan/slow/small/sort/spark/stream
+AUTOCOMPLETE_K = 5          # < #completions, so the rank cut is exercised
+BM25_FUZZY_TERM = "part"    # d=2 neighbors in-vocab: part/fast/sort/spark
+BM25_FUZZY_D = 2
+PHRASE = "part filter"      # ~45 docs contain the adjacent pair per sf
+SOURCE_QUOTA_N = 10   # < per-source doc count at every sf — the cap binds
+
+
+def autocomplete(sf_dir: str):
+    """Query autocomplete through the index dictionary: stored terms
+    with the prefix ranked by (occurrence-counted df desc, term asc),
+    top-k.  Term-sharded pools route the range scan to only the shards
+    whose term range can hold the prefix."""
+    eng = _engine(sf_dir)
+    res = eng.complete(AUTOCOMPLETE_PREFIX, k=AUTOCOMPLETE_K)
+    return pd.DataFrame({"term": [t for t, _ in res],
+                         "df": np.array([d for _, d in res], np.int64)})
+
+
+def bm25_fuzzy(sf_dir: str):
+    """Fuzzy (Levenshtein ≤ 2) single-term BM25: the query term expands
+    to every dictionary term within edit distance 2 (vectorized DP scan
+    per shard), scored like prefix expansions (idf · length-delta
+    boost, per-doc max merge)."""
+    eng = _engine(sf_dir)
+    res = eng.query(BM25_FUZZY_TERM, "bm25", fuzzy=BM25_FUZZY_D)
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
+def phrase_search(sf_dir: str):
+    """Exact-phrase BM25: index-pruned candidates (conjunctive
+    union_docs fan-out) + a distributed vectorized adjacency verify +
+    in-stream scoring (see stages/phrase.py for the 10^12-doc shape)."""
+    from probly_search_ray.stages.phrase import phrase_bm25
+    eng = _engine(sf_dir)
+    return phrase_bm25(eng, _docs(sf_dir, ["doc_id", "text"]), PHRASE)
+
+
+def source_quota_cap(sf_dir: str):
+    """Per-source quota cap (keep the n lowest-id docs per source) —
+    block combiner + source-bucket shuffle, exact at any skew."""
+    from probly_search_ray.stages.curation import source_quota
+    return source_quota(_docs(sf_dir, ["doc_id", "source"]),
+                        n=SOURCE_QUOTA_N)
+
+
+QUERIES["autocomplete"] = autocomplete
+QUERIES["bm25_fuzzy"] = bm25_fuzzy
+QUERIES["phrase_search"] = phrase_search
+QUERIES["source_quota"] = source_quota_cap
+
+ORACLES["autocomplete"] = f"""
+    SELECT t AS term, count(*)::BIGINT AS df
+    FROM (SELECT unnest({_TOK}) AS t FROM documents)
+    WHERE t LIKE '{AUTOCOMPLETE_PREFIX}%'
+    GROUP BY t ORDER BY df DESC, term ASC LIMIT {AUTOCOMPLETE_K}
+"""
+
+ORACLES["bm25_fuzzy"] = _BM25_COMMON + f"""
+    , exp AS (SELECT t, df FROM df
+              WHERE levenshtein(t, '{BM25_FUZZY_TERM}') <= {BM25_FUZZY_D})
+    , tf AS (
+        SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok
+        WHERE t IN (SELECT t FROM exp) GROUP BY doc_id, t
+    )
+    , scored AS (
+        SELECT tf.doc_id,
+          ((1.2 + 1.0) * tf.tf)
+            / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len / (SELECT avg FROM avgdl))) + tf.tf)
+          * ln(1.0 + ((SELECT n_docs FROM stats)
+                      - least((SELECT n_docs FROM stats), exp.df) + 0.5)
+                   / (least((SELECT n_docs FROM stats), exp.df) + 0.5))
+          * (CASE WHEN tf.t = '{BM25_FUZZY_TERM}' THEN 1.0
+                  ELSE ln(1.0 + 1.0 / (1.0 + abs(length(tf.t)
+                           - {len(BM25_FUZZY_TERM)})))
+             END) AS s
+        FROM tf JOIN exp USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+    )
+    SELECT doc_id, round(max(s), 6) AS score FROM scored GROUP BY doc_id
+"""
+
+_PHRASE_T = PHRASE.split(" ")
+ORACLES["phrase_search"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    avgdl AS (SELECT sum(len(ts))::DOUBLE / (SELECT n_docs FROM stats)
+              AS avg FROM toks),
+    tf AS (
+      SELECT doc_id, len(ts)::DOUBLE AS dl,
+        len(list_filter(generate_series(1, len(ts) - 1),
+            i -> ts[i] = '{_PHRASE_T[0]}' AND ts[i+1] = '{_PHRASE_T[1]}'
+        ))::DOUBLE AS tf
+      FROM toks
+    ),
+    pdf AS (SELECT sum(tf)::BIGINT AS df FROM tf)
+    SELECT doc_id,
+      round(((1.2 + 1.0) * tf)
+        / (1.2 * ((1.0 - 0.75) + 0.75 * (dl / (SELECT avg FROM avgdl))) + tf)
+      * ln(1.0 + ((SELECT n_docs FROM stats)
+                  - least((SELECT n_docs FROM stats), (SELECT df FROM pdf)) + 0.5)
+               / (least((SELECT n_docs FROM stats), (SELECT df FROM pdf)) + 0.5)),
+        6) AS score
+    FROM tf WHERE tf > 0
+"""
+
+ORACLES["source_quota"] = f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {SOURCE_QUOTA_N}
+"""

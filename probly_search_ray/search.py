@@ -444,6 +444,70 @@ class ShardData:
                        axis=1).astype(np.float64)
         return exp, tfm, lmn
 
+    def _dict_matrix(self):
+        """Lazily-built padded byte matrix of the dictionary (UTF-8),
+        shared by every fuzzy expansion on this shard.  One-time O(vocab)
+        setup (like the ``terms`` list itself), then every query is pure
+        vectorized numpy."""
+        dm = getattr(self, "_dmat", None)
+        if dm is None:
+            enc = [t.encode() for t in self.terms]
+            lens = np.fromiter((len(e) for e in enc), np.int64,
+                               count=len(enc))
+            width = int(lens.max()) if len(enc) else 0
+            mat = np.zeros((len(enc), width), dtype=np.uint8)
+            if len(enc):
+                flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+                rows = np.repeat(np.arange(len(enc)), lens)
+                cols = _grouped_arange(lens)
+                mat[rows, cols] = flat
+            dm = self._dmat = (mat, lens)
+        return dm
+
+    def expand_fuzzy(self, term: str, d: int) -> list[tuple[str, int, int]]:
+        """Dictionary terms within byte-level Levenshtein distance ≤ d
+        of ``term`` → (term, raw_df, first_pos).  An EXTENSION beyond
+        the reference (its trie only supports prefix expansion,
+        ``src/query.rs:108-126``); distance is over UTF-8 bytes (≡
+        characters for ASCII terms).  Vectorized banded-free DP: the
+        row loop runs len(term)+width times, each step an O(vocab)
+        numpy kernel — no Python loop over dictionary terms."""
+        q = np.frombuffer(term.encode(), dtype=np.uint8)
+        mat, lens = self._dict_matrix()
+        cand = np.flatnonzero(np.abs(lens - len(q)) <= d)
+        if not len(cand):
+            return []
+        sub = mat[cand]
+        sl = lens[cand]
+        n, width = sub.shape
+        # classic DP over (query chars) x (candidate positions), the
+        # candidate axis fully vectorized; early-exit rows whose running
+        # minimum already exceeds d
+        prev = np.broadcast_to(np.arange(width + 1, dtype=np.int32),
+                               (n, width + 1)).copy()
+        alive = np.arange(n)
+        for i in range(1, len(q) + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            cost = (sub != q[i - 1]).astype(np.int32)
+            for j in range(1, width + 1):
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1,
+                           out=cur[:, j])
+                np.minimum(cur[:, j], prev[:, j - 1] + cost[:, j - 1],
+                           out=cur[:, j])
+            keep = cur.min(axis=1) <= d
+            if not keep.all():
+                alive = alive[keep]
+                if not len(alive):
+                    return []
+                cur = cur[keep]
+                sub = sub[keep]
+            prev = cur
+        dist = prev[np.arange(len(alive)), sl[alive]]
+        hit = alive[dist <= d]
+        return [(self.terms[i], int(self.df[i]), int(self.first_pos[i]))
+                for i in cand[hit]]
+
     def _term_index(self, term: str) -> int:
         i = bisect.bisect_left(self.terms, term)
         if i >= len(self.terms) or self.terms[i] != term:
@@ -1125,6 +1189,14 @@ class SearchEngine:
         """Fan a per-term call out to only the shards that can own it."""
         return self._call_shards(self._route(term), method, *args)
 
+    def _term_call(self, term: str, fuzzy: int, method: str, *args):
+        """Per-term fan-out honoring fuzzy expansion: fuzzy variants can
+        start with any byte, so term-range routing doesn't apply — every
+        shard's dictionary slice may own a match."""
+        if fuzzy:
+            return self._call(method, *args)
+        return self._call_term(term, method, *args)
+
     def _call_one(self, shard, method: str, *args):
         if self.use_actors:
             return self._ray.get(getattr(shard, method).remote(*args))
@@ -1147,7 +1219,8 @@ class SearchEngine:
     def query(self, q: str, scorer: str = "bm25", k: int | None = None,
               fields_boost: list[float] | None = None, expand: bool = True,
               k1: float = 1.2, b: float = 0.75,
-              require_all: bool = False) -> list[tuple[int, float]]:
+              require_all: bool = False,
+              fuzzy: int = 0) -> list[tuple[int, float]]:
         """Free-text disjunctive query; returns [(doc_id, score)] in
         canonical (score desc, doc_id asc) order, optionally top-k.
         ``expand=False`` disables prefix expansion (exact-term mode, an
@@ -1155,8 +1228,19 @@ class SearchEngine:
         ``require_all=True`` switches to conjunctive (AND) semantics —
         only docs matching EVERY query term (any expansion counts) are
         returned, scored identically to the disjunctive path (an
-        extension; the reference is OR-only)."""
+        extension; the reference is OR-only).
+        ``fuzzy=d`` (d > 0, bm25 only) replaces prefix expansion with
+        Levenshtein-distance-≤-d dictionary expansion: each query term
+        expands to every stored term within edit distance d, scored
+        like a prefix expansion (idf · boost, per-doc max merge) with
+        boost = 1 for the exact term else
+        ln(1 + 1/(1 + |bytes(e)| − |bytes(term)| as abs)) — the
+        reference's byte-length-delta boost shape applied to the
+        absolute length difference (an extension; the reference trie
+        is prefix-only)."""
         fields_boost = fields_boost or [1.0] * self.num_fields
+        if fuzzy and scorer != "bm25":
+            raise ValueError("fuzzy expansion is bm25-only")
         query_terms = self.tokenizer.py_fn(q)
         qlen = len(query_terms)  # includes empty tokens (src/query.rs:32)
         n_docs = self.stats.num_docs
@@ -1164,14 +1248,16 @@ class SearchEngine:
 
         restrict = None
         if require_all:
-            restrict = self._conjunctive_candidates(query_terms, expand)
+            restrict = self._conjunctive_candidates(query_terms, expand,
+                                                    fuzzy)
             if restrict is not None and not len(restrict):
                 return []
 
         if scorer == "bm25":
             docs, scores = self._query_bm25(query_terms, fields_boost,
                                             n_docs, avgs, k1, b, expand, k,
-                                            restrict_docs=restrict)
+                                            restrict_docs=restrict,
+                                            fuzzy=fuzzy)
             # canonical (score desc, doc_id asc) + top-k in numpy — no
             # Python materialization of the full result set
             if k is not None and len(docs) > k:
@@ -1196,7 +1282,18 @@ class SearchEngine:
         res.sort(key=lambda r: (-r[1], r[0]))
         return res[:k] if k is not None else res
 
-    def _conjunctive_candidates(self, query_terms, expand):
+    def complete(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Query autocomplete (an extension; the reference trie walks
+        prefixes but exposes no completion API): the stored dictionary
+        terms with this prefix ranked by (tombstone-adjusted df desc,
+        term asc), top-k.  Term-sharded pools route to only the shards
+        whose range can hold the prefix; the per-shard range scan is
+        the same one prefix expansion uses."""
+        ordered, df_map = self._expansions_for(prefix, expand=True)
+        ranked = sorted(df_map.items(), key=lambda x: (-x[1], x[0]))
+        return [(t, int(d)) for t, d in ranked[:k]]
+
+    def _conjunctive_candidates(self, query_terms, expand, fuzzy=0):
         """Doc ids matching EVERY distinct non-empty query term (a doc
         matches a term if it appears in any of its expansions'
         postings).  One ``union_docs`` fan-out per term (O(df) ids per
@@ -1208,10 +1305,10 @@ class SearchEngine:
             if term == "" or term in seen:
                 continue
             seen.add(term)
-            ordered, _ = self._expansions_for(term, expand)
+            ordered, _ = self._expansions_for(term, expand, fuzzy)
             if not ordered:
                 return np.empty(0, np.uint64)
-            parts = [d for d in self._call_term(term, "union_docs",
+            parts = [d for d in self._term_call(term, fuzzy, "union_docs",
                                                 ordered, self.tomb)
                      if len(d)]
             docs = np.unique(np.concatenate(parts)) if parts else \
@@ -1320,7 +1417,7 @@ class SearchEngine:
             if len(self._exp_cache) < 65536:
                 self._exp_cache[(t, True)] = entry
 
-    def _expansions_for(self, term: str, expand: bool):
+    def _expansions_for(self, term: str, expand: bool, fuzzy: int = 0):
         """Global expansion list in reference trie order, with
         tombstone-adjusted df; terms with df == 0 are skipped
         (``src/query.rs:44-48``) but still shape the order.
@@ -1330,13 +1427,56 @@ class SearchEngine:
         hot prefixes skip the expand fan-out and the Python trie-order
         reconstruction, which dominate warm-query time for
         expansion-heavy prefixes."""
-        key = (term, expand)
+        key = (term, expand, fuzzy)
         if not len(self.tomb) and key in self._exp_cache:
             return self._exp_cache[key]
-        res = self._expansions_for_uncached(term, expand)
+        if fuzzy:
+            res = self._expansions_for_fuzzy(term, fuzzy)
+        else:
+            res = self._expansions_for_uncached(term, expand)
         if not len(self.tomb) and len(self._exp_cache) < 65536:
             self._exp_cache[key] = res
         return res
+
+    def _expansions_for_fuzzy(self, term: str, d: int):
+        """Fuzzy (Levenshtein ≤ d) expansion list: deterministic order =
+        the exact term first (if stored), then the variants sorted
+        lexicographically.  The dictionary scan fans out to EVERY shard
+        (variants don't share the term's prefix range); doc-sharded
+        pools ask shard 0's full dictionary once."""
+        if self.doc_shards:
+            all_exp = self._call_one(self.shards[0], "expand_fuzzy",
+                                     term, d)
+        else:
+            per_shard = self._call("expand_fuzzy", term, d)
+            all_exp = [e for lst in per_shard for e in lst]
+        if not all_exp:
+            return [], {}
+        ordered = sorted(t for t, _, _ in all_exp if t != term)
+        if any(t == term for t, _, _ in all_exp):
+            ordered.insert(0, term)
+        if self.doc_shards:
+            df_map = {t: raw for t, raw, _ in all_exp}
+            if len(self.tomb):
+                terms_list = list(df_map)
+                hits = self._call("tomb_hits_many", terms_list, self.tomb)
+                total = np.sum(np.stack(hits), axis=0)
+                df_map = {t: int(df_map[t] - h)
+                          for t, h in zip(terms_list, total)}
+        elif len(self.tomb):
+            terms_list = [t for t, _, _ in all_exp]
+            per_shard = self._call("df_adjusted_many", terms_list,
+                                   self.tomb)
+            df_map = {}
+            for lst in per_shard:
+                for t, dd in zip(terms_list, lst):
+                    if dd > 0:
+                        df_map[t] = dd  # a term lives in one shard
+        else:
+            df_map = {t: raw for t, raw, _ in all_exp}
+        df_map = {t: dd for t, dd in df_map.items() if dd > 0}
+        ordered = [t for t in ordered if t in df_map]
+        return ordered, df_map
 
     def _expansions_for_uncached(self, term: str, expand: bool):
         if self.doc_shards:
@@ -1397,13 +1537,14 @@ class SearchEngine:
         ordered = [t for t in ordered if t in df_map]
         return ordered, df_map
 
-    def _bounds_for(self, term: str, expand: bool, ordered: list[str]):
+    def _bounds_for(self, term: str, expand: bool, ordered: list[str],
+                    fuzzy: int = 0):
         """Impact-bound matrices (tf_max, len_min — each (n, F) float64,
         aligned to ``ordered``) for top-k pruning; fetched LAZILY (only
         bm25 top-k queries pay the extra shard round-trip) and memoized
         with the expansion cache.  A term lives in exactly one shard;
         absent shards contribute zeros."""
-        key = ("__bounds__", term, expand)
+        key = ("__bounds__", term, expand, fuzzy)
         if not len(self.tomb) and key in self._exp_cache:
             return self._exp_cache[key]
         if self.doc_shards:
@@ -1412,7 +1553,8 @@ class SearchEngine:
             per_shard = [self._call_one(self.shards[0], "bounds_arrays",
                                         ordered)]
         else:
-            per_shard = self._call_term(term, "bounds_arrays", ordered)
+            per_shard = self._term_call(term, fuzzy, "bounds_arrays",
+                                        ordered)
         tfm = np.zeros((len(ordered), self.num_fields), dtype=np.float64)
         lmn = np.zeros((len(ordered), self.num_fields), dtype=np.float64)
         for present, t_s, l_s in per_shard:
@@ -1450,13 +1592,14 @@ class SearchEngine:
         return s * idf_boosts
 
     def _query_bm25(self, query_terms, fields_boost, n_docs, avgs, k1, b,
-                    expand, k=None, restrict_docs=None):
-        self._prefetch_expansions(query_terms, expand)
+                    expand, k=None, restrict_docs=None, fuzzy=0):
+        if not fuzzy:
+            self._prefetch_expansions(query_terms, expand)
         term_infos = []
         for term in query_terms:
             if term == "":
                 continue
-            ordered, df_map = self._expansions_for(term, expand)
+            ordered, df_map = self._expansions_for(term, expand, fuzzy)
             if not ordered:
                 continue
             idf_boosts = []
@@ -1469,7 +1612,7 @@ class SearchEngine:
                     boost = 1.0
                 else:
                     boost = math.log(1.0 + 1.0 / (
-                        1.0 + len(e.encode()) - len(term.encode())))
+                        1.0 + abs(len(e.encode()) - len(term.encode()))))
                 idf_boosts.append(idf * boost)
             term_infos.append((term, ordered, np.asarray(idf_boosts)))
         # Exact top-k pruning is valid only when ONE query term
@@ -1483,7 +1626,7 @@ class SearchEngine:
         if k is not None and len(term_infos) > 1:
             term_ubs = []
             for term, ordered, idf_boosts in term_infos:
-                tfm, lmn = self._bounds_for(term, expand, ordered)
+                tfm, lmn = self._bounds_for(term, expand, ordered, fuzzy)
                 term_ubs.append(float(self._score_ub_vec(
                     tfm, lmn, idf_boosts, fields_boost, avgs, k1, b).max()))
         g_docs = np.empty(0, dtype=np.uint64)
@@ -1495,7 +1638,7 @@ class SearchEngine:
             if prune:
                 # process expansions in descending score upper bound;
                 # stop when the bound can no longer enter the top-k
-                tfm, lmn = self._bounds_for(term, expand, ordered)
+                tfm, lmn = self._bounds_for(term, expand, ordered, fuzzy)
                 ub_each = self._score_ub_vec(tfm, lmn, idf_boosts,
                                              fields_boost, avgs, k1, b)
                 order_ub = np.argsort(-ub_each, kind="stable")
@@ -1515,8 +1658,8 @@ class SearchEngine:
                         break
                     terms_c = [ordered[i] for i in chunk]
                     coefs_c = [idf_boosts[i] for i in chunk]
-                    per_shard = self._call_term(
-                        term,
+                    per_shard = self._term_call(
+                        term, fuzzy,
                         "score_bm25_batch", terms_c, coefs_c, fields_boost,
                         avgs, k1, b, self.tomb, False, k, float(kth))
                     dp = [d for _, d, _ in per_shard if len(d)]
@@ -1553,9 +1696,9 @@ class SearchEngine:
             # with expansion multiplicity.  Docs whose score would be
             # None in the reference are still *visited* (src/query.rs:88)
             # — f carries the raw first-record score, sign and all.
-            per_shard = self._call_term(term, "score_bm25_reduced", ordered,
-                                        idf_boosts, fields_boost, avgs,
-                                        k1, b, self.tomb, only_docs)
+            per_shard = self._term_call(term, fuzzy, "score_bm25_reduced",
+                                        ordered, idf_boosts, fields_boost,
+                                        avgs, k1, b, self.tomb, only_docs)
             per_shard = [t for t in per_shard if len(t[0])]
             if not per_shard:
                 continue

@@ -326,3 +326,64 @@ def sample_stratified(docs, mod: int = 10, keep: int = 3):
         .groupby("source").aggregate(Sum("n_total_p", alias_name="n_total"),
                                      Sum("n_sampled_p",
                                          alias_name="n_sampled"))
+
+
+# ---------------------------------------------------------------------------
+# per-source quota cap (domain-cap curation)
+# ---------------------------------------------------------------------------
+
+def source_quota(docs, n: int = 30, source_col: str = "source",
+                 id_col: str = "doc_id", merge_buckets: int = 64):
+    """Keep the ``n`` lowest-``id_col`` docs per source — the "cap docs
+    per domain" curation step every Common-Crawl pipeline runs so one
+    hot host can't dominate the corpus.
+
+    Scale shape (two stages, both vectorized):
+
+    1. per-BLOCK combiner: each block keeps ≤ n rows per source via one
+       lexsort + grouped-rank mask — survivors are ≤ blocks·n per
+       source, independent of corpus size;
+    2. the survivors hash-shuffle by source bucket (a source lives in
+       exactly one bucket) and each bucket replays the same rank filter
+       over ALL its sources at once — exact, no per-source Python, and
+       the worst skew (every doc one source) is bounded by blocks·n
+       rows in one bucket, never the corpus.
+
+    The driver holds nothing; the result is a streaming Dataset of
+    (id, source) survivors.
+    """
+    def _rank_mask(src_codes: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        order = np.lexsort((ids, src_codes))
+        sc = src_codes[order]
+        starts = np.concatenate(([0], np.flatnonzero(sc[1:] != sc[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [len(sc)])))
+        rank = np.arange(len(sc)) - np.repeat(starts, counts)
+        keep = np.zeros(len(sc), dtype=bool)
+        keep[order] = rank < n
+        return keep
+
+    def combine(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             source_col: pa.array([], pa.string())})
+        src = b[source_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        codes = src.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = b[id_col].to_numpy()
+        keep = _rank_mask(codes, ids)
+        out = b.select([id_col, source_col]).filter(pa.array(keep))
+        bucket = pd.util.hash_array(
+            np.asarray(out[source_col].to_pandas(), dtype=object)
+        ) % merge_buckets
+        return out.append_column("_sb", pa.array(bucket.astype(np.int64)))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[source_col], sort=False)
+        keep = _rank_mask(codes.astype(np.int64),
+                          g[id_col].to_numpy())
+        return g.loc[keep, [id_col, source_col]]
+
+    return docs.map_batches(combine, batch_format="pyarrow") \
+        .groupby("_sb").map_groups(resolve, batch_format="pandas")
