@@ -154,6 +154,136 @@ def bm25_doc_sharded(sf_dir: str):
                          "score": [round(s, 6) for _, s in res]})
 
 
+def bm25_snippets(sf_dir: str):
+    """Search-result snippets: every BM25-matched doc joined back to
+    the corpus to cut a 60-char window starting 30 chars before the
+    FIRST occurrence of any query term (the reference returns bare
+    (key, score) pairs, `/root/reference/src/query.rs:34-56`; snippets
+    are the serving-layer feature a web index needs on top).
+
+    Scale shape: the match list (doc_id → score, O(result set)) is the
+    small side — broadcast once via ``ray.put``; the corpus streams
+    through ONE map_batches that filters to matched ids (sorted-array
+    bisect) and slices all snippets with Arrow-buffer index arithmetic
+    — no per-row Python, no driver text materialization.  Offsets are
+    byte-based (``find_substring``) which equals DuckDB's char-based
+    ``position`` on this ASCII corpus."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from probly_search_ray.search import _grouped_arange
+
+    eng = _engine(sf_dir)
+    res = eng.query(" ".join(BM25_QUERY_TERMS), "bm25", expand=False)
+    ids = np.asarray([int(d) for d, _ in res], dtype=np.int64)
+    scs = np.asarray([round(s, 6) for _, s in res], dtype=np.float64)
+    o = np.argsort(ids)
+    ref = _ray.put((ids[o], scs[o]))
+    terms = list(BM25_QUERY_TERMS)
+    sentinel = np.iinfo(np.int64).max
+
+    def snip(b: pa.Table) -> pa.Table:
+        m_ids, m_sc = _ray.get(ref)
+        d = b["doc_id"].to_numpy()
+        at = np.clip(np.searchsorted(m_ids, d), 0, max(len(m_ids) - 1, 0))
+        hit = (m_ids[at] == d) if len(m_ids) else np.zeros(len(d), bool)
+        sub = b.filter(pa.array(hit))
+        if not len(sub):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64()),
+                             "snippet": pa.array([], pa.large_string())})
+        txt = pc.cast(sub["text"], pa.large_string()).combine_chunks()
+        first = np.full(len(sub), sentinel, dtype=np.int64)
+        for t in terms:
+            f = pc.find_substring(txt, t).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            first = np.minimum(first, np.where(f < 0, sentinel, f))
+        start = np.maximum(first - 30, 0)  # matched docs ⇒ first < sentinel
+        off_all = np.frombuffer(txt.buffers()[1], dtype=np.int64)
+        off = off_all[txt.offset: txt.offset + len(txt) + 1]
+        data = np.frombuffer(txt.buffers()[2], dtype=np.uint8)
+        s_byte = off[:-1] + start
+        e_byte = np.minimum(s_byte + 60, off[1:])
+        lens = e_byte - s_byte
+        new_off = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        out = data[np.repeat(s_byte, lens) + _grouped_arange(lens)] \
+            if new_off[-1] else np.empty(0, np.uint8)
+        snippet = pa.Array.from_buffers(
+            pa.large_string(), len(sub),
+            [None, pa.py_buffer(new_off), pa.py_buffer(out)])
+        return pa.table({"doc_id": pa.array(m_ids[at[hit]]),
+                         "score": pa.array(m_sc[at[hit]]),
+                         "snippet": snippet})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        snip, batch_format="pyarrow")
+
+
+MLT_DOC = 1  # more-like-this source document (exists at every sf)
+
+
+def more_like_this(sf_dir: str):
+    """Document-similarity search ("more like this"): the source doc's
+    top-3 tf·idf terms (same selection rule as ``tfidf_top3`` — score
+    desc, term asc; distinct-doc df) seed a disjunctive BM25 query
+    through the REAL engine; the source doc is excluded from results.
+
+    Scale shape: the source doc is a pushdown point read; the df table
+    is computed distributed but filtered to the source doc's own terms
+    BEFORE the groupby, so the shuffle carries O(|doc| vocab) rows —
+    never the corpus vocabulary; the query itself is the engine's
+    normal sharded path."""
+    import pyarrow.dataset as pads
+
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    src = pads.dataset(os.path.join(sf_dir, "documents.parquet")) \
+        .to_table(filter=pads.field("doc_id") == MLT_DOC, columns=["text"])
+    toks = np.asarray([w for w in src["text"][0].as_py().split(" ") if w],
+                      dtype=object)
+    terms_u, tf = np.unique(toks, return_counts=True)
+    tref = _ray.put(np.sort(terms_u))
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def ddt(b: pa.Table) -> pa.Table:
+        want = _ray.get(tref)
+        btoks, _, didx = textstats._tokenize_flat(b)
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64())})
+        if not len(btoks):
+            return empty
+        order = np.lexsort((btoks, didx))
+        t_s, d_s = btoks[order], didx[order]
+        first = np.concatenate(([True], (d_s[1:] != d_s[:-1])
+                                | (t_s[1:] != t_s[:-1])))
+        t_f, d_f = t_s[first], d_s[first]
+        at = np.clip(np.searchsorted(want, t_f), 0, len(want) - 1)
+        keep = want[at] == t_f
+        if not keep.any():
+            return empty
+        ids = b["doc_id"].to_numpy()
+        return pa.table({"term": pa.array(t_f[keep].astype(object),
+                                          type=pa.string()),
+                         "doc_id": pa.array(ids[d_f[keep]])})
+
+    df_tbl = docs.map_batches(ddt, batch_format="pyarrow") \
+        .groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    n_docs = docs.count()
+    dfd = df_tbl.set_index("term")["df"]
+    idf = np.log(n_docs / dfd.loc[terms_u].to_numpy(np.float64))
+    score = tf.astype(np.float64) * idf
+    sel = terms_u[np.lexsort((terms_u, -score))][:3]
+
+    eng = _engine(sf_dir)
+    res = eng.query(" ".join(str(t) for t in sel), "bm25", expand=False)
+    return pd.DataFrame(
+        {"doc_id": [int(d) for d, _ in res if int(d) != MLT_DOC],
+         "score": [round(s, 6) for d, s in res if int(d) != MLT_DOC]})
+
+
 def index_postings(sf_dir: str):
     """Index-as-dataset export: read the committed term-shard parquet
     files back as a Ray Dataset and decode the posting blocks
@@ -1077,6 +1207,8 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "bm25_conjunctive": bm25_conjunctive,
     "bm25_doc_sharded": bm25_doc_sharded,
+    "bm25_snippets": bm25_snippets,
+    "more_like_this": more_like_this,
     "events_asof_orders": events_asof_orders,
     "events_window_orders": events_window_orders,
     "distinct_users_per_type": distinct_users_per_type,
@@ -1605,6 +1737,61 @@ ORACLES = {
 # the doc-sharded layout must be BIT-IDENTICAL to the default engine,
 # so it is pinned against the very same SQL
 ORACLES["bm25_doc_sharded"] = ORACLES["bm25_exact"]
+
+_POS_MIN = " least(" + ", ".join(
+    f"coalesce(nullif(position('{t}' IN d.text), 0), 2147483647)"
+    for t in BM25_QUERY_TERMS) + ")"
+
+ORACLES["bm25_snippets"] = _BM25_COMMON + f"""
+    , qt AS (SELECT unnest({BM25_QUERY_TERMS!r}::VARCHAR[]) AS t)
+    , tf AS (
+        SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok
+        WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t
+    )
+    , scored AS (
+        SELECT tf.doc_id,
+          ((1.2 + 1.0) * tf.tf)
+            / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len / (SELECT avg FROM avgdl))) + tf.tf)
+          * ln(1.0 + ((SELECT n_docs FROM stats)
+                      - least((SELECT n_docs FROM stats), df.df) + 0.5)
+                   / (least((SELECT n_docs FROM stats), df.df) + 0.5)) AS s
+        FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+    )
+    , sc AS (SELECT doc_id, round(sum(s), 6) AS score
+             FROM scored GROUP BY doc_id)
+    SELECT sc.doc_id, sc.score,
+           substr(d.text, greatest(1, {_POS_MIN} - 30), 60) AS snippet
+    FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+"""
+
+ORACLES["more_like_this"] = _BM25_COMMON + f"""
+    , src AS (SELECT unnest({_TOK}) AS t FROM documents
+              WHERE doc_id = {MLT_DOC})
+    , stf AS (SELECT t, count(*)::DOUBLE AS tf FROM src GROUP BY t)
+    , dfd AS (SELECT t, count(DISTINCT doc_id)::DOUBLE AS dfd FROM tok
+              WHERE t IN (SELECT t FROM stf) GROUP BY t)
+    , qt AS (
+        SELECT t FROM (
+          SELECT stf.t, row_number() OVER (
+            ORDER BY stf.tf * ln((SELECT n_docs FROM stats)::DOUBLE
+                                 / dfd.dfd) DESC, stf.t ASC) AS r
+          FROM stf JOIN dfd USING (t)) WHERE r <= 3)
+    , tf AS (
+        SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok
+        WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t
+    )
+    , scored AS (
+        SELECT tf.doc_id,
+          ((1.2 + 1.0) * tf.tf)
+            / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len / (SELECT avg FROM avgdl))) + tf.tf)
+          * ln(1.0 + ((SELECT n_docs FROM stats)
+                      - least((SELECT n_docs FROM stats), df.df) + 0.5)
+                   / (least((SELECT n_docs FROM stats), df.df) + 0.5)) AS s
+        FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+    )
+    SELECT doc_id, round(sum(s), 6) AS score FROM scored
+    WHERE doc_id <> {MLT_DOC} GROUP BY doc_id
+"""
 
 # as-of join: deterministic tie-break (max orderdate, then max
 # orderkey) so the window-function SQL is hash-stable
