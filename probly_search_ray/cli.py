@@ -82,6 +82,16 @@ def cmd_compact(args):
     print(json.dumps({"groups_merged": n}))
 
 
+def cmd_merge(args):
+    _ensure_ray()
+    from probly_search_ray.maintain import merge_indexes
+    man = merge_indexes(args.sources.split(","), args.dest,
+                        compact=args.compact, overwrite=args.overwrite)
+    print(json.dumps({"groups": len(man["groups"]),
+                      "docs": sum(g["num_docs"]
+                                  for g in man["groups"].values())}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="probly_search_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -141,6 +151,17 @@ def main(argv=None):
                        help="merge all groups into one sorted group")
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    mg = sub.add_parser(
+        "merge", help="merge independently built indexes into one")
+    mg.add_argument("--sources", required=True,
+                    help="comma-separated source index dirs")
+    mg.add_argument("--dest", required=True)
+    mg.add_argument("--compact", action="store_true",
+                    help="re-sort all postings into one group after "
+                         "the metadata merge (distributed)")
+    mg.add_argument("--overwrite", action="store_true")
+    mg.set_defaults(fn=cmd_merge)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -400,3 +400,162 @@ def vacuum(index_dir: str) -> None:
     tomb.clear()
     from probly_search_ray.search import build_csr_cache
     build_csr_cache(index_dir)  # next engine start is cache-warm
+
+
+def _docmeta_id_ranges(index_dir: str) -> list[tuple[int, int]]:
+    """(min, max) doc id per docmeta file, from parquet FOOTER row-group
+    statistics only — no data pages are read."""
+    out = []
+    meta_dir = os.path.join(index_dir, "docmeta")
+    for f in sorted(glob.glob(os.path.join(meta_dir, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:   # fall back: read ids
+                import pyarrow.dataset as pads
+                ids = pads.dataset(f).to_table(columns=["doc_id"])
+                ids = ids["doc_id"].to_numpy()
+                return [(int(ids.min()), int(ids.max()))] if len(ids) else []
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out.append((int(lo), int(hi)))
+    return out
+
+
+_MERGE_CFG_KEYS = ("format_version", "string_key", "key_col",
+                   "field_cols", "tokenizer", "num_fields",
+                   "block_postings")
+
+
+def merge_indexes(source_dirs, dest_dir: str, compact: bool = False,
+                  overwrite: bool = False) -> dict:
+    """Merge independently built indexes into ONE index directory —
+    the multi-node ingest shape: each node builds its own index over
+    its shard of the corpus, then the shards merge.
+
+    The merge itself is metadata-only (the scale contract): term files
+    are hard-linked into the destination (copy fallback across
+    filesystems), group records are re-keyed per source, stats are
+    summed from the per-group partials, and tombstones union.  The
+    only heavy work — re-sorting all postings into one globally
+    term-sorted group — is optional (``compact=True``) and delegates
+    to the existing distributed ``compact_groups``.
+
+    Checked up front: identical build config across sources and
+    doc-id disjointness (parquet-footer interval fast path; on interval
+    overlap, an exact distributed duplicate check over the docmeta ids
+    — one Ray count aggregate, never a driver set).  String-key indexes
+    are refused: hashed ids can collide ACROSS sources and the keymap
+    collision certificate is per-index.
+
+    The reference has no analogue (its index is a single in-RAM trie,
+    /root/reference/src/index.rs:19-33); this is the Ray-native
+    replacement for "add the other node's documents one by one".
+    """
+    source_dirs = list(source_dirs)
+    if len(source_dirs) < 2:
+        raise ValueError("merge_indexes needs at least two sources")
+    mans = [Manifest(s) for s in source_dirs]
+    for s, m in zip(source_dirs, mans):
+        if not m.data["config"]:
+            raise FileNotFoundError(f"no index at {s}")
+        if m.data["config"].get("string_key"):
+            raise ValueError(
+                "merge_indexes does not support string-key indexes: "
+                "hashed doc ids can collide across sources")
+    cfg0 = mans[0].data["config"]
+    for s, m in zip(source_dirs[1:], mans[1:]):
+        for k in _MERGE_CFG_KEYS:
+            if m.data["config"].get(k) != cfg0.get(k):
+                raise ValueError(
+                    f"config mismatch on {k!r}: {source_dirs[0]} has "
+                    f"{cfg0.get(k)!r}, {s} has {m.data['config'].get(k)!r}")
+
+    # --- doc-id disjointness ------------------------------------------
+    ranges = [_docmeta_id_ranges(s) for s in source_dirs]
+    spans = [(min(lo for lo, _ in r), max(hi for _, hi in r))
+             for r in ranges if r]
+    order = sorted(range(len(spans)), key=lambda i: spans[i])
+    interval_ok = all(spans[order[i]][1] < spans[order[i + 1]][0]
+                      for i in range(len(order) - 1))
+    if not interval_ok:
+        # exact check: one distributed count aggregate over docmeta ids
+        import ray.data
+        from ray.data.aggregate import Count
+        meta_files = [f for s in source_dirs for f in sorted(
+            glob.glob(os.path.join(s, "docmeta", "*.parquet")))]
+        dup = ray.data.read_parquet(meta_files, columns=["doc_id"]) \
+            .groupby("doc_id").aggregate(Count(alias_name="n")) \
+            .filter(lambda r: r["n"] > 1).take(1)
+        if dup:
+            raise ValueError(
+                f"duplicate doc_id across sources (e.g. {dup[0]['doc_id']})")
+
+    # --- link files + build the one atomic manifest commit ------------
+    if overwrite and os.path.exists(dest_dir):
+        shutil.rmtree(dest_dir)
+    if os.path.exists(os.path.join(dest_dir, "manifest.json")):
+        raise ValueError(f"destination {dest_dir} already holds an index")
+    os.makedirs(dest_dir, exist_ok=True)
+
+    def _link(src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+    records = {}
+    tomb_ids = []
+    input_files = []
+    for si, (s, m) in enumerate(zip(source_dirs, mans)):
+        for gid, rec in sorted(m.groups.items()):
+            ngid = f"m{si:02d}-{gid}"
+            nrec = dict(rec)
+            nfiles = []
+            for tf in rec["term_files"]:
+                rel = os.path.join(
+                    "terms", f"group={ngid}",
+                    os.path.basename(tf["path"]))
+                _link(os.path.join(s, tf["path"]),
+                      os.path.join(dest_dir, rel))
+                nfiles.append({**tf, "path": rel})
+            nrec["term_files"] = nfiles
+            nrec["merged_from"] = os.path.join(s, f"group={gid}")
+            records[ngid] = nrec
+            mp = os.path.join(s, "docmeta", f"group={gid}.parquet")
+            if os.path.exists(mp):
+                _link(mp, os.path.join(dest_dir, "docmeta",
+                                       f"group={ngid}.parquet"))
+        tomb_ids.extend(Tombstones(s).doc_ids)
+        input_files.extend(m.data["config"].get("input_files", []))
+
+    man = Manifest(dest_dir)
+    cfg = dict(cfg0)
+    cfg["input_files"] = input_files
+    man.data["config"] = cfg
+    man.commit_groups(records)  # ONE atomic write (config + all groups)
+    Tombstones(dest_dir).add_many(tomb_ids)
+
+    # --- stats from group partials (same contract as build_index) -----
+    nf = cfg["num_fields"]
+    total_docs = sum(rec["num_docs"] for rec in records.values())
+    total_sums = np.zeros(nf, dtype=np.int64)
+    for rec in records.values():
+        total_sums += np.asarray(rec["field_len_sums"], dtype=np.int64)
+    if tomb_ids:
+        lens_by_doc = _docs_field_lengths(dest_dir, tomb_ids)
+        for lens in lens_by_doc.values():
+            total_sums -= np.asarray(lens, dtype=np.int64)
+        total_docs -= len(lens_by_doc)
+    Stats(dest_dir).set_from_build(total_docs, list(total_sums))
+
+    if compact:
+        compact_groups(dest_dir)  # distributed re-sort + cache rebuild
+    else:
+        from probly_search_ray.search import build_csr_cache
+        build_csr_cache(dest_dir)
+    return man.data
