@@ -284,6 +284,49 @@ def more_like_this(sf_dir: str):
          "score": [round(s, 6) for d, s in res if int(d) != MLT_DOC]})
 
 
+def bm25_merged_index(sf_dir: str):
+    """Multi-node ingest shape gated end-to-end: the documents table is
+    split in two halves, each half built into its OWN index (the
+    per-node build), the two indexes merged with ``merge_indexes``
+    (metadata-only: hard-linked term files, summed stats), and the
+    standard multi-term BM25 query served from the MERGED index.
+    Shares the ``bm25_exact`` oracle — scores depend on global N /
+    avgdl / df, so any merge error in postings, doc meta, or stats
+    breaks the value hash."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from probly_search_ray.maintain import merge_indexes
+
+    from probly_search_ray.functions.codec import FORMAT_VERSION
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{FORMAT_VERSION}".encode()
+    ).hexdigest()[:10]
+    base = os.path.join("/tmp", "psr_merge_cache", tag)
+    merged = os.path.join(base, "merged")
+    if not os.path.exists(os.path.join(merged, "stats.json")):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        cut = int(np.median(t["doc_id"].to_numpy()))
+        os.makedirs(base, exist_ok=True)
+        pq.write_table(t.filter(pc.less(t["doc_id"], cut)),
+                       os.path.join(base, "lo.parquet"))
+        pq.write_table(t.filter(pc.greater_equal(t["doc_id"], cut)),
+                       os.path.join(base, "hi.parquet"))
+        for half in ("lo", "hi"):
+            build_index([os.path.join(base, f"{half}.parquet")],
+                        os.path.join(base, f"idx_{half}"),
+                        key_col="doc_id", field_cols=["text"],
+                        overwrite=True)
+        merge_indexes([os.path.join(base, "idx_lo"),
+                       os.path.join(base, "idx_hi")], merged,
+                      overwrite=True)
+    res = SearchEngine(merged).query(
+        " ".join(BM25_QUERY_TERMS), "bm25", expand=False)
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
 def index_postings(sf_dir: str):
     """Index-as-dataset export: read the committed term-shard parquet
     files back as a Ray Dataset and decode the posting blocks
@@ -1209,6 +1252,7 @@ QUERIES = {
     "bm25_doc_sharded": bm25_doc_sharded,
     "bm25_snippets": bm25_snippets,
     "more_like_this": more_like_this,
+    "bm25_merged_index": bm25_merged_index,
     "events_asof_orders": events_asof_orders,
     "events_window_orders": events_window_orders,
     "distinct_users_per_type": distinct_users_per_type,
@@ -1737,6 +1781,7 @@ ORACLES = {
 # the doc-sharded layout must be BIT-IDENTICAL to the default engine,
 # so it is pinned against the very same SQL
 ORACLES["bm25_doc_sharded"] = ORACLES["bm25_exact"]
+ORACLES["bm25_merged_index"] = ORACLES["bm25_exact"]
 
 _POS_MIN = " least(" + ", ".join(
     f"coalesce(nullif(position('{t}' IN d.text), 0), 2147483647)"
