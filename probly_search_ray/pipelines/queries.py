@@ -327,6 +327,30 @@ def bm25_merged_index(sf_dir: str):
                          "score": [round(s, 6) for _, s in res]})
 
 
+def bm25_multifield(sf_dir: str):
+    """Two-field BM25 with per-field boosts (U4 through a REAL
+    multi-field index, not a pytest fixture): the documents table
+    indexed over (text, lang), queried with ``fields_boost=[1, 2]`` so
+    every component of the reference's per-field weighting
+    (`/root/reference/src/score/default/bm25.rs:60-93`) — per-field tf
+    normalization against that FIELD's avg length, occurrence-counted
+    df summed across fields, boost multiplier — is SQL-checked."""
+    from probly_search_ray.functions.codec import FORMAT_VERSION
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:mf:{FORMAT_VERSION}".encode()
+    ).hexdigest()[:10]
+    idx = os.path.join("/tmp", "psr_index_cache_mf", tag)
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        build_index(os.path.join(sf_dir, "documents.parquet"), idx,
+                    key_col="doc_id", field_cols=["text", "lang"],
+                    overwrite=True)
+    eng = SearchEngine(idx)
+    res = eng.query("table en", "bm25", expand=False,
+                    fields_boost=[1.0, 2.0])
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
 def index_postings(sf_dir: str):
     """Index-as-dataset export: read the committed term-shard parquet
     files back as a Ray Dataset and decode the posting blocks
@@ -1253,6 +1277,7 @@ QUERIES = {
     "bm25_snippets": bm25_snippets,
     "more_like_this": more_like_this,
     "bm25_merged_index": bm25_merged_index,
+    "bm25_multifield": bm25_multifield,
     "events_asof_orders": events_asof_orders,
     "events_window_orders": events_window_orders,
     "distinct_users_per_type": distinct_users_per_type,
@@ -1782,6 +1807,45 @@ ORACLES = {
 # so it is pinned against the very same SQL
 ORACLES["bm25_doc_sharded"] = ORACLES["bm25_exact"]
 ORACLES["bm25_merged_index"] = ORACLES["bm25_exact"]
+
+ORACLES["bm25_multifield"] = f"""
+WITH docs2 AS (
+  SELECT doc_id, {_TOK} AS t0,
+         list_filter(string_split(lang, ' '), x -> x <> '') AS t1
+  FROM documents
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+tokall AS (
+  SELECT doc_id, 0 AS f, unnest(t0) AS t FROM docs2
+  UNION ALL
+  SELECT doc_id, 1 AS f, unnest(t1) AS t FROM docs2
+),
+dl AS (SELECT doc_id, len(t0) AS len0, len(t1) AS len1 FROM docs2),
+avgs AS (
+  SELECT sum(len0)::DOUBLE / (SELECT n_docs FROM stats) AS avg0,
+         sum(len1)::DOUBLE / (SELECT n_docs FROM stats) AS avg1 FROM dl
+),
+df AS (SELECT t, count(*)::BIGINT AS df FROM tokall GROUP BY t),
+qt AS (SELECT unnest(['table', 'en']::VARCHAR[]) AS t),
+tf AS (
+  SELECT doc_id, f, t, count(*)::DOUBLE AS tf FROM tokall
+  WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, f, t
+),
+scored AS (
+  SELECT tf.doc_id,
+    ((1.2 + 1.0) * tf.tf)
+      / (1.2 * ((1.0 - 0.75) + 0.75 *
+          ((CASE WHEN tf.f = 0 THEN dl.len0 ELSE dl.len1 END)
+           / (CASE WHEN tf.f = 0 THEN (SELECT avg0 FROM avgs)
+                   ELSE (SELECT avg1 FROM avgs) END))) + tf.tf)
+    * ln(1.0 + ((SELECT n_docs FROM stats)
+                - least((SELECT n_docs FROM stats), df.df) + 0.5)
+             / (least((SELECT n_docs FROM stats), df.df) + 0.5))
+    * (CASE WHEN tf.f = 0 THEN 1.0 ELSE 2.0 END) AS s
+  FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+)
+SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY doc_id
+"""
 
 _POS_MIN = " least(" + ", ".join(
     f"coalesce(nullif(position('{t}' IN d.text), 0), 2147483647)"
