@@ -351,6 +351,43 @@ def bm25_multifield(sf_dir: str):
                          "score": [round(s, 6) for _, s in res]})
 
 
+def bm25_facets(sf_dir: str):
+    """Faceted search: per-(source, lang) doc counts over the BM25
+    result set — the aggregation panel a search UI shows next to the
+    results.  Scale shape: matched ids (O(result set)) broadcast once;
+    the corpus streams through a vectorized per-batch combiner emitting
+    ≤ #facets rows per batch; ONE small groupby-sum finishes."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    eng = _engine(sf_dir)
+    res = eng.query(" ".join(BM25_QUERY_TERMS), "bm25", expand=False)
+    ids = np.sort(np.asarray([int(d) for d, _ in res], dtype=np.int64))
+    ref = _ray.put(ids)
+
+    def facet(b: pa.Table) -> pa.Table:
+        m_ids = _ray.get(ref)
+        d = b["doc_id"].to_numpy()
+        at = np.clip(np.searchsorted(m_ids, d), 0, max(len(m_ids) - 1, 0))
+        hit = (m_ids[at] == d) if len(m_ids) else np.zeros(len(d), bool)
+        sub = b.filter(pa.array(hit))
+        if not len(sub):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        df = pd.DataFrame({"source": sub["source"].to_pandas(),
+                           "lang": sub["lang"].to_pandas()})
+        g = df.groupby(["source", "lang"], sort=False).size().reset_index()
+        return pa.table({"source": pa.array(g["source"], pa.string()),
+                         "lang": pa.array(g["lang"], pa.string()),
+                         "n_part": pa.array(g[0].to_numpy(np.int64))})
+
+    return _docs(sf_dir, ["doc_id", "source", "lang"]) \
+        .map_batches(facet, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(Sum("n_part",
+                                                   alias_name="n"))
+
+
 def index_postings(sf_dir: str):
     """Index-as-dataset export: read the committed term-shard parquet
     files back as a Ray Dataset and decode the posting blocks
@@ -1278,6 +1315,7 @@ QUERIES = {
     "more_like_this": more_like_this,
     "bm25_merged_index": bm25_merged_index,
     "bm25_multifield": bm25_multifield,
+    "bm25_facets": bm25_facets,
     "events_asof_orders": events_asof_orders,
     "events_window_orders": events_window_orders,
     "distinct_users_per_type": distinct_users_per_type,
@@ -1807,6 +1845,16 @@ ORACLES = {
 # so it is pinned against the very same SQL
 ORACLES["bm25_doc_sharded"] = ORACLES["bm25_exact"]
 ORACLES["bm25_merged_index"] = ORACLES["bm25_exact"]
+
+ORACLES["bm25_facets"] = _BM25_COMMON + f"""
+    , qt AS (SELECT unnest({BM25_QUERY_TERMS!r}::VARCHAR[]) AS t)
+    , hit AS (
+        SELECT DISTINCT doc_id FROM tok WHERE t IN (SELECT t FROM qt)
+    )
+    SELECT d.source, d.lang, count(*)::BIGINT AS n
+    FROM hit JOIN documents d USING (doc_id)
+    GROUP BY d.source, d.lang
+"""
 
 ORACLES["bm25_multifield"] = f"""
 WITH docs2 AS (
