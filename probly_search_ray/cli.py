@@ -49,7 +49,14 @@ def cmd_build_pages(args):
         args.input, args.index, files_per_group=args.files_per_group,
         batch_size=args.batch_size, overwrite=args.overwrite,
         resume=not args.no_resume)
-    print(json.dumps({"groups": len(man["groups"])}))
+    groups = man["groups"]
+    print(json.dumps({
+        "groups": len(groups),
+        "docs": sum(g["num_docs"] for g in groups.values()),
+        "per_group": {k: {"docs": g["num_docs"],
+                          "wall_sec": g["wall_sec"],
+                          "docs_per_sec": g["docs_per_sec"]}
+                      for k, g in groups.items()}}))
 
 
 def cmd_query(args):
