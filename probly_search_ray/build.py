@@ -193,12 +193,33 @@ def build_index(
         "files_per_group": files_per_group,
     })
     committed = man.committed_group_ids() if resume else set()
+    # lineage guard: appending must never re-index a file that an
+    # existing group (incl. merged "m##-*" groups) already covers —
+    # positional gids alone can't see that, and silently double
+    # indexing corrupts N / df / avgdl with no error at query time.
+    committed_inputs = {f: g for g in committed
+                        for f in man.groups[g].get("input_files", [])}
 
     built_any = False
     for gi, gfiles in enumerate(groups):
         gid = f"{gi:05d}"
         if gid in committed:
+            if man.groups[gid].get("input_files") != gfiles:
+                raise ValueError(
+                    f"group {gid} was committed with input files "
+                    f"{man.groups[gid].get('input_files')!r} but this run "
+                    f"maps it to {gfiles!r} — group boundaries moved "
+                    "(changed files_per_group or inserted files). "
+                    "Append with the original list plus NEW files only, "
+                    "or rebuild with overwrite=True.")
             continue
+        clash = [f for f in gfiles if f in committed_inputs]
+        if clash:
+            raise ValueError(
+                f"input file {clash[0]!r} is already indexed (group "
+                f"{committed_inputs[clash[0]]}); append builds must pass "
+                "only files not yet covered by a committed group, or "
+                "rebuild with overwrite=True.")
         built_any = True
         t0 = time.perf_counter()
         out_dir = os.path.join(index_dir, "terms", f"group={gid}")

@@ -94,9 +94,10 @@ def cmd_merge(args):
     from probly_search_ray.maintain import merge_indexes
     man = merge_indexes(args.sources.split(","), args.dest,
                         compact=args.compact, overwrite=args.overwrite)
+    from probly_search_ray.state.manifest import Stats
+    # Stats is tombstone-adjusted; group partials are not
     print(json.dumps({"groups": len(man["groups"]),
-                      "docs": sum(g["num_docs"]
-                                  for g in man["groups"].values())}))
+                      "docs": Stats(args.dest).num_docs}))
 
 
 def main(argv=None):

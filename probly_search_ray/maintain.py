@@ -413,11 +413,14 @@ def _docmeta_id_ranges(index_dir: str) -> list[tuple[int, int]]:
         lo, hi = None, None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:   # fall back: read ids
+            if st is None or not st.has_min_max:
+                # fall back for THIS file only: read its ids
                 import pyarrow.dataset as pads
-                ids = pads.dataset(f).to_table(columns=["doc_id"])
-                ids = ids["doc_id"].to_numpy()
-                return [(int(ids.min()), int(ids.max()))] if len(ids) else []
+                ids = pads.dataset(f).to_table(
+                    columns=["doc_id"])["doc_id"].to_numpy()
+                if len(ids):
+                    lo, hi = int(ids.min()), int(ids.max())
+                break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         if lo is not None:
@@ -458,6 +461,13 @@ def merge_indexes(source_dirs, dest_dir: str, compact: bool = False,
     source_dirs = list(source_dirs)
     if len(source_dirs) < 2:
         raise ValueError("merge_indexes needs at least two sources")
+    dest_real = os.path.realpath(dest_dir)
+    for s in source_dirs:
+        sreal = os.path.realpath(s)
+        if dest_real == sreal or dest_real.startswith(sreal + os.sep) \
+                or sreal.startswith(dest_real + os.sep):
+            raise ValueError(
+                f"destination {dest_dir} overlaps source {s}")
     mans = [Manifest(s) for s in source_dirs]
     for s, m in zip(source_dirs, mans):
         if not m.data["config"]:

@@ -260,8 +260,8 @@ def more_like_this(sf_dir: str):
         first = np.concatenate(([True], (d_s[1:] != d_s[:-1])
                                 | (t_s[1:] != t_s[:-1])))
         t_f, d_f = t_s[first], d_s[first]
-        at = np.clip(np.searchsorted(want, t_f), 0, len(want) - 1)
-        keep = want[at] == t_f
+        from probly_search_ray.search import _in_sorted
+        keep = _in_sorted(t_f, want)
         if not keep.any():
             return empty
         ids = b["doc_id"].to_numpy()
@@ -366,11 +366,11 @@ def bm25_facets(sf_dir: str):
     ref = _ray.put(ids)
 
     def facet(b: pa.Table) -> pa.Table:
+        from probly_search_ray.search import _in_sorted
         m_ids = _ray.get(ref)
-        d = b["doc_id"].to_numpy()
-        at = np.clip(np.searchsorted(m_ids, d), 0, max(len(m_ids) - 1, 0))
-        hit = (m_ids[at] == d) if len(m_ids) else np.zeros(len(d), bool)
-        sub = b.filter(pa.array(hit))
+        sub = b.filter(pa.array(
+            _in_sorted(b["doc_id"].to_numpy(), m_ids))) if len(m_ids) \
+            else b.slice(0, 0)
         if not len(sub):
             return pa.table({"source": pa.array([], pa.string()),
                              "lang": pa.array([], pa.string()),

@@ -120,12 +120,44 @@ def test_merge_safety_checks(tmp_path):
         merge_indexes([ia, ic], str(tmp_path / "bad2"))
 
     # destination already an index → refused
+    occupied = str(tmp_path / "occupied")
+    os.makedirs(occupied)
+    with open(os.path.join(occupied, "manifest.json"), "w") as f:
+        f.write("{}")
     with pytest.raises(ValueError, match="already holds"):
-        merge_indexes([ia, ib], ia)
+        merge_indexes([ia, ib], occupied)
 
     # fewer than two sources → refused
     with pytest.raises(ValueError, match="at least two"):
         merge_indexes([ia], str(tmp_path / "bad3"))
+
+    # destination equal to / nested in a source → refused BEFORE any
+    # destructive step (overwrite=True must not rmtree a source)
+    with pytest.raises(ValueError, match="overlaps"):
+        merge_indexes([ia, ib], ia, overwrite=True)
+    with pytest.raises(ValueError, match="overlaps"):
+        merge_indexes([ia, ib], os.path.join(ia, "sub"), overwrite=True)
+    assert os.path.exists(os.path.join(ia, "manifest.json"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_append_already_indexed_file_raises(tmp_path):
+    """Lineage guard: an append build that would re-index a file already
+    covered by a committed group (positional gids can't see merged
+    m##-* groups) fails loudly instead of silently double-indexing."""
+    pa_, pb = _split_docs(tmp_path)
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index([pa_], ia, key_col="doc_id", field_cols=["text"])
+    build_index([pb], ib, key_col="doc_id", field_cols=["text"])
+    merged = str(tmp_path / "merged")
+    merge_indexes([ia, ib], merged)
+    with pytest.raises(ValueError, match="already indexed"):
+        build_index([pa_, pb], merged, key_col="doc_id",
+                    field_cols=["text"], resume=True)
+    # moved group boundaries on a plain (unmerged) index also refuse
+    with pytest.raises(ValueError, match="boundaries moved|committed"):
+        build_index([pb, pa_], ia, key_col="doc_id",
+                    field_cols=["text"], resume=True)
 
 
 @pytest.mark.usefixtures("ray_session")
