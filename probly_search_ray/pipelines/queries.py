@@ -388,6 +388,49 @@ def bm25_facets(sf_dir: str):
                                                    alias_name="n"))
 
 
+def bm25_top_per_source(sf_dir: str):
+    """Grouped top-k: the best 3 BM25 matches per source facet (the
+    "top pages per domain" serving primitive).  Distinct from the
+    global ``_topk_rows`` shape: each batch emits ≤ 3 candidates PER
+    GROUP (vectorized rank-within-group), so the driver merge is
+    bounded by #blocks × #groups × k — never the result set."""
+    import ray as _ray
+
+    eng = _engine(sf_dir)
+    res = eng.query(" ".join(BM25_QUERY_TERMS), "bm25", expand=False)
+    ids = np.asarray([int(d) for d, _ in res], dtype=np.int64)
+    scs = np.asarray([round(s, 6) for _, s in res], dtype=np.float64)
+    o = np.argsort(ids)
+    ref = _ray.put((ids[o], scs[o]))
+
+    def _rank_top3(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "score", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        return df[df.groupby("source", sort=False).cumcount() < 3]
+
+    def part(b: pa.Table) -> pa.Table:
+        from probly_search_ray.search import _in_sorted
+        m_ids, m_sc = _ray.get(ref)
+        d = b["doc_id"].to_numpy()
+        hit = _in_sorted(d, m_ids) if len(m_ids) else \
+            np.zeros(len(d), bool)
+        sub = b.filter(pa.array(hit))
+        if not len(sub):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        dd = sub["doc_id"].to_numpy()
+        sc = m_sc[np.searchsorted(m_ids, dd)]
+        out = _rank_top3(pd.DataFrame({
+            "source": sub["source"].to_pandas(), "doc_id": dd,
+            "score": sc}))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        part, batch_format="pyarrow").to_pandas()
+    return _rank_top3(parts).reset_index(drop=True)
+
+
 def index_postings(sf_dir: str):
     """Index-as-dataset export: read the committed term-shard parquet
     files back as a Ray Dataset and decode the posting blocks
@@ -1316,6 +1359,7 @@ QUERIES = {
     "bm25_merged_index": bm25_merged_index,
     "bm25_multifield": bm25_multifield,
     "bm25_facets": bm25_facets,
+    "bm25_top_per_source": bm25_top_per_source,
     "events_asof_orders": events_asof_orders,
     "events_window_orders": events_window_orders,
     "distinct_users_per_type": distinct_users_per_type,
@@ -1854,6 +1898,32 @@ ORACLES["bm25_facets"] = _BM25_COMMON + f"""
     SELECT d.source, d.lang, count(*)::BIGINT AS n
     FROM hit JOIN documents d USING (doc_id)
     GROUP BY d.source, d.lang
+"""
+
+ORACLES["bm25_top_per_source"] = _BM25_COMMON + f"""
+    , qt AS (SELECT unnest({BM25_QUERY_TERMS!r}::VARCHAR[]) AS t)
+    , tf AS (
+        SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok
+        WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t
+    )
+    , scored AS (
+        SELECT tf.doc_id,
+          ((1.2 + 1.0) * tf.tf)
+            / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len / (SELECT avg FROM avgdl))) + tf.tf)
+          * ln(1.0 + ((SELECT n_docs FROM stats)
+                      - least((SELECT n_docs FROM stats), df.df) + 0.5)
+                   / (least((SELECT n_docs FROM stats), df.df) + 0.5)) AS s
+        FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+    )
+    , sc AS (SELECT doc_id, round(sum(s), 6) AS score
+             FROM scored GROUP BY doc_id)
+    , ranked AS (
+        SELECT d.source, sc.doc_id, sc.score,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY sc.score DESC,
+                                           sc.doc_id ASC) AS r
+        FROM sc JOIN documents d USING (doc_id))
+    SELECT source, doc_id, score FROM ranked WHERE r <= 3
 """
 
 ORACLES["bm25_multifield"] = f"""
