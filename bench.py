@@ -76,7 +76,11 @@ def bench_build(pages_dir: str, num_cpus: int, timed_runs: int = 2,
     nothing about pipeline scalability, hence the separate number."""
     from probly_search_ray.pipelines.pages import build_pages_index
     from probly_search_ray.search import build_csr_cache
-    idx_dir = os.path.join(BENCH_DIR, f"index_cpus{num_cpus}")
+    # per-(size, cpus) dir: the scaling legs (2.4M docs, run LAST)
+    # must not overwrite the headline 600k index that cold_start /
+    # latency numbers were measured on — post-bench inspection of the
+    # headline artifact relies on it surviving intact
+    idx_dir = os.path.join(BENCH_DIR, f"index_{NUM_DOCS}_cpus{num_cpus}")
     # untimed warmup run: faults worker memory in, warms the VM's
     # lazily-allocated pages, so timed runs measure compute+shuffle;
     # take the min of the timed runs (this VM's noise is large)
