@@ -89,6 +89,37 @@ def cmd_compact(args):
     print(json.dumps({"groups_merged": n}))
 
 
+def cmd_stats(args):
+    """Index observability without starting an engine: manifest lineage
+    (per-group inputs/docs/timings), corpus stats, tombstone count,
+    term-file inventory, cache presence — all metadata reads."""
+    import os
+
+    from probly_search_ray.search import ShardData
+    from probly_search_ray.state.manifest import Manifest, Stats, Tombstones
+    man = Manifest(args.index)
+    if not man.data["config"]:
+        raise FileNotFoundError(f"no index at {args.index}")
+    st = Stats(args.index)
+    tfiles = man.term_files()
+    cache = ShardData._cache_path(args.index, man, None, None)
+    print(json.dumps({
+        "num_docs": st.num_docs,
+        "fields": st.data["fields"],
+        "tombstones": len(Tombstones(args.index).doc_ids),
+        "groups": {g: {"docs": r["num_docs"],
+                       "term_files": len(r["term_files"]),
+                       "input_files": len(r.get("input_files", [])),
+                       "wall_sec": r.get("wall_sec"),
+                       "docs_per_sec": r.get("docs_per_sec")}
+                   for g, r in sorted(man.groups.items())},
+        "term_files": len(tfiles),
+        "term_rows": sum(r["rows"] for r in tfiles),
+        "cache_warm": os.path.isdir(cache),
+        "format_version": man.data["config"].get("format_version"),
+    }))
+
+
 def cmd_merge(args):
     _ensure_ray()
     from probly_search_ray.maintain import merge_indexes
@@ -159,6 +190,10 @@ def main(argv=None):
                        help="merge all groups into one sorted group")
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser("stats", help="index metadata / lineage report")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     mg = sub.add_parser(
         "merge", help="merge independently built indexes into one")

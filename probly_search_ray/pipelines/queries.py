@@ -327,6 +327,40 @@ def bm25_merged_index(sf_dir: str):
                          "score": [round(s, 6) for _, s in res]})
 
 
+def bm25_append_index(sf_dir: str):
+    """Incremental-ingest shape gated end-to-end: build over the first
+    half of the corpus, then APPEND the second half as a resumed build
+    (new group only — the lineage guard proves the first group is not
+    re-indexed), and serve the standard multi-term BM25 query.  Shares
+    the ``bm25_exact`` oracle: global N / avgdl / df must equal the
+    one-shot build's."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from probly_search_ray.functions.codec import FORMAT_VERSION
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:append:{FORMAT_VERSION}".encode()
+    ).hexdigest()[:10]
+    base = os.path.join("/tmp", "psr_append_cache", tag)
+    idx = os.path.join(base, "idx")
+    lo_p, hi_p = (os.path.join(base, f"{h}.parquet") for h in ("lo", "hi"))
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        cut = int(np.median(t["doc_id"].to_numpy()))
+        os.makedirs(base, exist_ok=True)
+        pq.write_table(t.filter(pc.less(t["doc_id"], cut)), lo_p)
+        pq.write_table(t.filter(pc.greater_equal(t["doc_id"], cut)), hi_p)
+        build_index([lo_p], idx, key_col="doc_id", field_cols=["text"],
+                    files_per_group=1, overwrite=True)
+        build_index([lo_p, hi_p], idx, key_col="doc_id",
+                    field_cols=["text"], files_per_group=1, resume=True)
+    res = SearchEngine(idx).query(
+        " ".join(BM25_QUERY_TERMS), "bm25", expand=False)
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
 def bm25_multifield(sf_dir: str):
     """Two-field BM25 with per-field boosts (U4 through a REAL
     multi-field index, not a pytest fixture): the documents table
@@ -1357,6 +1391,7 @@ QUERIES = {
     "bm25_snippets": bm25_snippets,
     "more_like_this": more_like_this,
     "bm25_merged_index": bm25_merged_index,
+    "bm25_append_index": bm25_append_index,
     "bm25_multifield": bm25_multifield,
     "bm25_facets": bm25_facets,
     "bm25_top_per_source": bm25_top_per_source,
@@ -1889,6 +1924,7 @@ ORACLES = {
 # so it is pinned against the very same SQL
 ORACLES["bm25_doc_sharded"] = ORACLES["bm25_exact"]
 ORACLES["bm25_merged_index"] = ORACLES["bm25_exact"]
+ORACLES["bm25_append_index"] = ORACLES["bm25_exact"]
 
 ORACLES["bm25_facets"] = _BM25_COMMON + f"""
     , qt AS (SELECT unnest({BM25_QUERY_TERMS!r}::VARCHAR[]) AS t)
