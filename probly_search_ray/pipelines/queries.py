@@ -141,6 +141,19 @@ def bm25_conjunctive(sf_dir: str):
                          "score": [round(s, 6) for _, s in res]})
 
 
+def bm25_exclusion(sf_dir: str):
+    """Boolean NOT: BM25 over (table, merge) excluding every doc that
+    contains 'stream' (engine extension ``query(exclude=...)``; the
+    reference is OR-only).  The excluded-doc set is one O(df)
+    ``union_docs`` fan-out per exclude term; exclusion applies before
+    top-k so survivors' ranks are exact."""
+    eng = _engine(sf_dir)
+    res = eng.query("table merge", "bm25", expand=False,
+                    exclude="stream")
+    return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
+                         "score": [round(s, 6) for _, s in res]})
+
+
 def bm25_doc_sharded(sf_dir: str):
     """Multi-term BM25 through the DOC-sharded serving layout
     (``SearchEngine(doc_shards=4, use_actors=True)`` — full dictionary
@@ -1387,6 +1400,7 @@ QUERIES = {
     "pack_shards": pack_shards,
     "sample_stratified": sample_stratified,
     "bm25_conjunctive": bm25_conjunctive,
+    "bm25_exclusion": bm25_exclusion,
     "bm25_doc_sharded": bm25_doc_sharded,
     "bm25_snippets": bm25_snippets,
     "more_like_this": more_like_this,
@@ -1925,6 +1939,26 @@ ORACLES = {
 ORACLES["bm25_doc_sharded"] = ORACLES["bm25_exact"]
 ORACLES["bm25_merged_index"] = ORACLES["bm25_exact"]
 ORACLES["bm25_append_index"] = ORACLES["bm25_exact"]
+
+ORACLES["bm25_exclusion"] = _BM25_COMMON + f"""
+    , qt AS (SELECT unnest(['table', 'merge']::VARCHAR[]) AS t)
+    , tf AS (
+        SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok
+        WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t
+    )
+    , scored AS (
+        SELECT tf.doc_id,
+          ((1.2 + 1.0) * tf.tf)
+            / (1.2 * ((1.0 - 0.75) + 0.75 * (dl.len / (SELECT avg FROM avgdl))) + tf.tf)
+          * ln(1.0 + ((SELECT n_docs FROM stats)
+                      - least((SELECT n_docs FROM stats), df.df) + 0.5)
+                   / (least((SELECT n_docs FROM stats), df.df) + 0.5)) AS s
+        FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+    )
+    SELECT doc_id, round(sum(s), 6) AS score FROM scored
+    WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE t = 'stream')
+    GROUP BY doc_id
+"""
 
 ORACLES["bm25_facets"] = _BM25_COMMON + f"""
     , qt AS (SELECT unnest({BM25_QUERY_TERMS!r}::VARCHAR[]) AS t)

@@ -1220,7 +1220,8 @@ class SearchEngine:
               fields_boost: list[float] | None = None, expand: bool = True,
               k1: float = 1.2, b: float = 0.75,
               require_all: bool = False,
-              fuzzy: int = 0) -> list[tuple[int, float]]:
+              fuzzy: int = 0,
+              exclude: str | None = None) -> list[tuple[int, float]]:
         """Free-text disjunctive query; returns [(doc_id, score)] in
         canonical (score desc, doc_id asc) order, optionally top-k.
         ``expand=False`` disables prefix expansion (exact-term mode, an
@@ -1229,6 +1230,14 @@ class SearchEngine:
         only docs matching EVERY query term (any expansion counts) are
         returned, scored identically to the disjunctive path (an
         extension; the reference is OR-only).
+        ``exclude="..."`` (an extension; the reference is OR-only)
+        drops every doc matching ANY exclude term (same tokenizer and
+        expansion mode as the query) from the result — the NOT side of
+        a boolean query.  Exclusion is applied BEFORE top-k selection
+        (shard-side top-k pruning is disabled for the query, since a
+        pruned candidate set could let excluded docs displace
+        legitimate ones), so `k` results are exactly the best k
+        surviving docs.
         ``fuzzy=d`` (d > 0, bm25 only) replaces prefix expansion with
         Levenshtein-distance-≤-d dictionary expansion: each query term
         expands to every stored term within edit distance d, scored
@@ -1252,12 +1261,21 @@ class SearchEngine:
                                                     fuzzy)
             if restrict is not None and not len(restrict):
                 return []
+        excl = None
+        if exclude:
+            excl = self._excluded_docs(self.tokenizer.py_fn(exclude),
+                                       expand, fuzzy)
 
         if scorer == "bm25":
             docs, scores = self._query_bm25(query_terms, fields_boost,
-                                            n_docs, avgs, k1, b, expand, k,
+                                            n_docs, avgs, k1, b, expand,
+                                            None if excl is not None else k,
                                             restrict_docs=restrict,
                                             fuzzy=fuzzy)
+            if excl is not None and len(docs):
+                keep = ~_in_sorted(docs, excl) if len(excl) else \
+                    np.ones(len(docs), bool)
+                docs, scores = docs[keep], scores[keep]
             # canonical (score desc, doc_id asc) + top-k in numpy — no
             # Python materialization of the full result set
             if k is not None and len(docs) > k:
@@ -1279,6 +1297,9 @@ class SearchEngine:
         if restrict is not None:
             keep = set(int(d) for d in restrict)
             res = [r for r in res if int(r[0]) in keep]
+        if excl is not None and len(excl):
+            drop = set(int(d) for d in excl)
+            res = [r for r in res if int(r[0]) not in drop]
         res.sort(key=lambda r: (-r[1], r[0]))
         return res[:k] if k is not None else res
 
@@ -1292,6 +1313,26 @@ class SearchEngine:
         ordered, df_map = self._expansions_for(prefix, expand=True)
         ranked = sorted(df_map.items(), key=lambda x: (-x[1], x[0]))
         return [(t, int(d)) for t, d in ranked[:k]]
+
+    def _excluded_docs(self, excl_terms, expand, fuzzy=0) -> np.ndarray:
+        """Sorted-unique doc ids matching ANY exclude term (a doc
+        matches a term if it appears in any of its expansions'
+        postings) — the NOT side of a boolean query.  Same shape as the
+        conjunctive fan-out: one ``union_docs`` call per term (O(df)
+        ids per shard), union folded on the coordinator."""
+        parts = []
+        seen = set()
+        for term in excl_terms:
+            if term == "" or term in seen:
+                continue
+            seen.add(term)
+            ordered, _ = self._expansions_for(term, expand, fuzzy)
+            if not ordered:
+                continue
+            parts.extend(d for d in self._term_call(
+                term, fuzzy, "union_docs", ordered, self.tomb) if len(d))
+        return np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, np.uint64)
 
     def _conjunctive_candidates(self, query_terms, expand, fuzzy=0):
         """Doc ids matching EVERY distinct non-empty query term (a doc

@@ -219,3 +219,48 @@ def test_source_quota_skew(tmp_path):
     want = want.sort_values(["source", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[["doc_id", "source"]], want[["doc_id", "source"]])
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("layout", ["plain", "sharded", "doc_sharded"])
+def test_exclusion_differential(tmp_path, layout):
+    """query(exclude=...) drops exactly the docs matching any exclude
+    term (expansion mode respected), and top-k with exclusion returns
+    the best k SURVIVORS — identical to filter-then-head of the full
+    result (shard-side pruning must not let excluded docs displace
+    survivors)."""
+    rng = np.random.default_rng(31)
+    corpus = _mk_corpus(rng, 250)
+    eng = build_engine(tmp_path / layout, corpus,
+                       num_shards=3 if layout == "sharded" else 1)
+    if layout == "doc_sharded":
+        eng = SearchEngine(eng.index_dir, doc_shards=3, use_actors=True)
+    texts = {i: t[0].split() for i, t in enumerate(corpus)}
+    for q, ex, expand in (("table cat", "scan", False),
+                          ("table cat", "scan bath", False),
+                          ("ca", "ta", True),       # expansion both sides
+                          ("table", "zzz", False),  # absent exclude term
+                          ("table", "table", False)):  # excludes all hits
+        full = eng.query(q, "bm25", expand=expand)
+        got = eng.query(q, "bm25", expand=expand, exclude=ex)
+        ex_terms = [t for t in ex.split() if t]
+
+        def _hits(term):
+            if expand:
+                return {d for d, toks in texts.items()
+                        if any(w.startswith(term) for w in toks)}
+            return {d for d, toks in texts.items() if term in toks}
+
+        dropped = set().union(*(_hits(t) for t in ex_terms))
+        want = [(d, s) for d, s in full if d not in dropped]
+        assert got == want, (q, ex, expand)
+        # top-k = head of the filtered full ranking
+        k = 5
+        got_k = eng.query(q, "bm25", expand=expand, exclude=ex, k=k)
+        assert got_k == want[:k], (q, ex, expand, "topk")
+    # zero_to_one path honors exclusion too
+    full = eng.query("table cat", "zero_to_one", expand=False)
+    got = eng.query("table cat", "zero_to_one", expand=False,
+                    exclude="scan")
+    dropped = {d for d, toks in texts.items() if "scan" in toks}
+    assert got == [(d, s) for d, s in full if d not in dropped]
