@@ -65,7 +65,8 @@ def cmd_query(args):
     eng = SearchEngine(args.index, num_shards=args.shards,
                        use_actors=args.actors or args.doc_shards > 0,
                        doc_shards=args.doc_shards)
-    res = eng.query(args.query, args.scorer, k=args.k)
+    res = eng.query(args.query, args.scorer, k=args.k,
+                    require_all=args.require_all, exclude=args.exclude)
     print(json.dumps([{"doc_id": d, "score": s} for d, s in res]))
 
 
@@ -175,6 +176,11 @@ def main(argv=None):
     q.add_argument("--doc-shards", type=int, default=0,
                    help="doc-sharded serving layout (hash-partitioned "
                         "postings, full dictionary per shard)")
+    q.add_argument("--require-all", action="store_true",
+                   help="conjunctive (AND) semantics")
+    q.add_argument("--exclude", default=None,
+                   help="space-separated NOT terms: drop docs matching "
+                        "any of them")
     q.set_defaults(fn=cmd_query)
 
     r = sub.add_parser("remove", help="tombstone a document")
