@@ -90,6 +90,14 @@ def cmd_compact(args):
     print(json.dumps({"groups_merged": n}))
 
 
+def cmd_complete(args):
+    _ensure_ray()
+    from probly_search_ray.search import SearchEngine
+    eng = SearchEngine(args.index)
+    print(json.dumps([{"term": t, "df": int(df)}
+                      for t, df in eng.complete(args.prefix, k=args.k)]))
+
+
 def cmd_stats(args):
     """Index observability without starting an engine: manifest lineage
     (per-group inputs/docs/timings), corpus stats, tombstone count,
@@ -196,6 +204,13 @@ def main(argv=None):
                        help="merge all groups into one sorted group")
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    ac = sub.add_parser("complete",
+                        help="autocomplete a prefix from the dictionary")
+    ac.add_argument("--index", required=True)
+    ac.add_argument("--prefix", required=True)
+    ac.add_argument("--k", type=int, default=10)
+    ac.set_defaults(fn=cmd_complete)
 
     st = sub.add_parser("stats", help="index metadata / lineage report")
     st.add_argument("--index", required=True)
