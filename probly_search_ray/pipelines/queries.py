@@ -980,6 +980,69 @@ def top_bigrams(sf_dir: str):
     return _topk_rows(agg, ["n", "bigram"], [False, True], 20)
 
 
+def top_pmi_bigrams(sf_dir: str):
+    """Collocation mining by pointwise mutual information (the
+    word2phrase signal, Mikolov et al. 2013): top-20 bigrams with
+    count ≥ 5 by ln(n_ab·T1²/(n_a·n_b·T2)).  Distributed shape: bigram
+    counts = per-batch combiner + ONE groupby-sum (same as
+    ``top_bigrams``); the unigram table (the SMALL side — vocab, not
+    corpus) broadcasts via ``ray.put``; PMI is scored per BLOCK with
+    two searchsorted gathers and each block emits its own top-20
+    (driver merge ≤ P·20 rows).  At an extreme vocab the broadcast
+    becomes a distributed hash join on the first token — the map-side
+    shape here is the common case."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks, _, didx = textstats._tokenize_flat(b)
+        if len(toks) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        m = didx[1:] == didx[:-1]
+        big = (toks[:-1][m] + " ") + toks[1:][m]
+        u, c = np.unique(big, return_counts=True)
+        return pa.table({"bigram": pa.array(u.astype(object),
+                                            type=pa.string()),
+                         "n_part": pa.array(c.astype(np.int64))})
+
+    agg = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n_part", alias_name="n"))
+
+    uni = term_df(sf_dir).to_pandas()  # vocab-sized (the small side)
+    terms = uni["term"].to_numpy().astype(object)
+    order = np.argsort(terms)
+    t_sorted = terms[order]
+    n_sorted = uni["df"].to_numpy(np.float64)[order]
+    t1 = float(n_sorted.sum())
+    # total bigram count = Σ per-doc (len-1) = T1 − num_docs_with_tokens
+    t2 = float(t1 - int((_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.doc_lengths, batch_format="pyarrow")
+        .filter(lambda r: r["len"] > 0)).count())
+    )
+    ref = _ray.put((t_sorted, n_sorted))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ts, ns = _ray.get(ref)
+        df = df[df["n"] >= 5]
+        if not len(df):
+            return pd.DataFrame({"bigram": [], "n": [],
+                                 "pmi": []}).astype(
+                {"bigram": str, "n": np.int64, "pmi": np.float64})
+        parts = df["bigram"].str.split(" ", n=1, expand=True)
+        na = ns[np.searchsorted(ts, parts[0].to_numpy(object))]
+        nb = ns[np.searchsorted(ts, parts[1].to_numpy(object))]
+        nab = df["n"].to_numpy(np.float64)
+        pmi = np.round(np.log((nab * t1 * t1) / (na * nb * t2)), 6)
+        return pd.DataFrame({"bigram": df["bigram"].to_numpy(),
+                             "n": df["n"].to_numpy(np.int64),
+                             "pmi": pmi})
+
+    scored = agg.map_batches(score, batch_format="pandas")
+    return _topk_rows(scored, ["pmi", "bigram"], [False, True], 20)
+
+
 def events_sliding(sf_dir: str):
     """Hopping-window aggregate (1 h window, 30 min hop): each event
     lands in exactly two windows; window fan-out is a vectorized map,
@@ -1390,6 +1453,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sliding": events_sliding,
     "top_bigrams": top_bigrams,
+    "top_pmi_bigrams": top_pmi_bigrams,
     "tfidf_top3": tfidf_top3,
     "source_dist": source_dist,
     "props_k_stats": props_k_stats,
@@ -1766,6 +1830,28 @@ ORACLES = {
                FROM toks WHERE len(ts) >= 2)
         SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY bigram
         ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+    "top_pmi_bigrams": f"""
+        WITH tok AS (SELECT unnest({_TOK}) AS t FROM documents),
+        uni AS (SELECT t, count(*)::DOUBLE AS n FROM tok GROUP BY t),
+        t1v AS (SELECT sum(n) AS v FROM uni),
+        toks AS (SELECT {_TOK} AS ts FROM documents),
+        t2v AS (SELECT sum(CASE WHEN len(ts) >= 1 THEN len(ts) - 1
+                                ELSE 0 END)::DOUBLE AS v FROM toks),
+        bg AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                             i -> ts[i] || ' ' || ts[i+1])) AS bigram
+               FROM toks WHERE len(ts) >= 2),
+        bc AS (SELECT bigram, count(*)::BIGINT AS n FROM bg
+               GROUP BY bigram HAVING count(*) >= 5),
+        sc AS (SELECT bc.bigram, bc.n,
+                 round(ln((bc.n::DOUBLE * (SELECT v FROM t1v)
+                           * (SELECT v FROM t1v))
+                       / (ua.n * ub.n * (SELECT v FROM t2v))), 6) AS pmi
+               FROM bc
+               JOIN uni ua ON ua.t = string_split(bc.bigram, ' ')[1]
+               JOIN uni ub ON ub.t = string_split(bc.bigram, ' ')[2])
+        SELECT bigram, n, pmi FROM sc
+        ORDER BY pmi DESC, bigram ASC LIMIT 20
     """,
     "tfidf_top3": f"""
         WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
