@@ -59,6 +59,28 @@ def _gen_corpus(num_docs: int) -> str:
     return pages
 
 
+def _tree_cpu_sec():
+    """Cumulative user+system CPU of this process and every live
+    descendant (the whole local Ray tree: raylet, GCS, workers).
+    Noise-immune cross-check for the scaling legs — wall time on this
+    VM absorbs co-tenant contention, CPU time does not."""
+    try:
+        import psutil
+        me = psutil.Process()
+        total = 0.0
+        for p in [me] + me.children(recursive=True):
+            try:
+                t = p.cpu_times()
+                total += t.user + t.system
+                total += getattr(t, "children_user", 0.0)
+                total += getattr(t, "children_system", 0.0)
+            except psutil.Error:
+                pass
+        return total
+    except Exception:
+        return None
+
+
 def _text_bytes(pages_dir: str) -> int:
     import duckdb
     return duckdb.sql(
@@ -87,15 +109,22 @@ def bench_build(pages_dir: str, num_cpus: int, timed_runs: int = 2,
     build_pages_index(pages_dir, idx_dir, overwrite=True,
                       files_per_group=NUM_FILES, batch_size=8192,
                       warm_cache=False)
-    wall = float("inf")
+    wall, cpu = float("inf"), None
     for _ in range(timed_runs):
+        c0 = _tree_cpu_sec()
         t0 = time.perf_counter()
         build_pages_index(pages_dir, idx_dir, overwrite=True,
                           files_per_group=NUM_FILES, batch_size=8192,
                           warm_cache=False)
-        wall = min(wall, time.perf_counter() - t0)
+        w = time.perf_counter() - t0
+        c1 = _tree_cpu_sec()
+        if w < wall:
+            wall = w
+            cpu = (round(c1 - c0, 1)
+                   if c0 is not None and c1 is not None else None)
     out = {"build_sec": round(wall, 3),
            "docs_per_sec": round(NUM_DOCS / wall, 1),
+           "cpu_sec": cpu,
            "index_dir": idx_dir}
     if time_cache:
         t0 = time.perf_counter()
@@ -195,30 +224,50 @@ def scaling_measurement() -> dict:
     """Same build at num_cpus=8 and 32 in FRESH processes on the same
     corpus (the sandbox proxy for N → 4N nodes).  Uses a larger,
     compute-dominated corpus so the measurement reflects scalable work,
-    not fixed per-job overhead (sort barrier, session setup)."""
+    not fixed per-job overhead (sort barrier, session setup).
+
+    Robustness (round-4): the legs run INTERLEAVED (8, 32, 8, 32) so
+    slow host drift hits both legs equally, each leg's wall is the MIN
+    over its runs (this VM's noise is one-sided: page-fault service and
+    co-tenant contention only ever ADD time), and each child also
+    reports the summed CPU time of the whole Ray process tree across
+    the timed build — the cpu_ratio (cpu_8 / cpu_32) is a noise-immune
+    cross-check that both legs did the same work (≈1.0 means a wall
+    gap is contention, not extra compute)."""
     docs = os.environ.get("GRAFT_SCALING_DOCS", "2400000")
     env_base = dict(os.environ, GRAFT_BENCH_MODE="build",
                     GRAFT_BENCH_DOCS=docs)
-    out = {}
-    for ncpu in (8, 32):
+    runs = {8: [], 32: []}
+    for ncpu in (8, 32, 8, 32):
         env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True,
                            check=True)
-        out[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
-    t8 = out[8]["value"]
-    t32 = out[32]["value"]
+        runs[ncpu].append(json.loads(p.stdout.strip().splitlines()[-1]))
+    t8 = min(r["value"] for r in runs[8])
+    t32 = min(r["value"] for r in runs[32])
     eff = (t8 / t32) / 4.0
-    return {
+    cpu8 = min((r["build"].get("cpu_sec") or 0) for r in runs[8])
+    cpu32 = min((r["build"].get("cpu_sec") or 0) for r in runs[32])
+    out = {
         "metric": "scaling efficiency, same build at num_cpus=8 vs 32 "
                   "(sandbox proxy for N -> 4N nodes)",
         "docs": int(docs),
+        "runs_per_leg": 2, "interleaved": True,
         "sec_8": t8, "sec_32": t32,
-        "docs_per_sec_8": out[8]["build"]["docs_per_sec"],
-        "docs_per_sec_32": out[32]["build"]["docs_per_sec"],
+        "sec_8_runs": [r["value"] for r in runs[8]],
+        "sec_32_runs": [r["value"] for r in runs[32]],
+        "docs_per_sec_8": round(int(docs) / t8, 1),
+        "docs_per_sec_32": round(int(docs) / t32, 1),
         "scaling_efficiency": round(eff, 3),
         "pass_ge_0.8": eff >= 0.8,
     }
+    if cpu8 and cpu32:
+        out["cpu_sec_8"] = cpu8
+        out["cpu_sec_32"] = cpu32
+        # ≈1.0 ⇒ both legs did the same compute; wall gaps are noise
+        out["cpu_ratio_8_over_32"] = round(cpu8 / cpu32, 3)
+    return out
 
 
 def main():
@@ -250,19 +299,52 @@ def main():
         "num_cpus": num_cpus,
         "build": build,
     }
-    if mode == "full":
-        result["cold_start"] = bench_cold_start(build["index_dir"])
-        result["query_latency"] = bench_queries(build["index_dir"], num_cpus)
-        result["queries"] = bench_pipelines(sf_dir)
+    if mode != "full":
+        # scaling child: parsed by the parent process, size irrelevant
+        ray.shutdown()
+        print(json.dumps(result))
+        return result
+    result["cold_start"] = bench_cold_start(build["index_dir"])
+    result["query_latency"] = bench_queries(build["index_dir"], num_cpus)
+    result["queries"] = bench_pipelines(sf_dir)
     ray.shutdown()
-    if mode == "full" and os.environ.get("GRAFT_BENCH_SCALING", "1") != "0":
+    if os.environ.get("GRAFT_BENCH_SCALING", "1") != "0":
         result["scaling"] = scaling_measurement()
-    print(json.dumps(result))
+    # Full detail to a file; stdout gets ONE compact line.  The driver
+    # keeps only the last ~2000 bytes of stdout and json-parses the
+    # final line — round 3's single fat line (build + latency + 66
+    # query timings, default separators) overflowed that window and
+    # the round's bench parse came back null.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    line = {
+        "metric": "pages index build wall sec (flagship), "
+                  f"{NUM_DOCS} docs",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "queries": {k: round(v, 2) for k, v in result["queries"].items()},
+        "detail_file": full_path,
+    }
+    if "scaling" in result:
+        s = result["scaling"]
+        line["scaling"] = {k: s[k] for k in
+                           ("sec_8", "sec_32", "scaling_efficiency",
+                            "pass_ge_0.8", "cpu_ratio_8_over_32")
+                           if k in s}
+    text = json.dumps(line, separators=(",", ":"))
+    if len(text) > 1900:  # never let the final line overflow the window
+        line["queries"] = {"see": full_path}
+        text = json.dumps(line, separators=(",", ":"))
+    print(text)
     return result
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(scaling_measurement()))
+        print(json.dumps(scaling_measurement(), separators=(",", ":")))
     else:
         main()

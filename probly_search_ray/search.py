@@ -1376,7 +1376,8 @@ class SearchEngine:
             return
         todo, seen = [], set()
         for t in query_terms:
-            if t and t not in seen and (t, expand) not in self._exp_cache:
+            if t and t not in seen \
+                    and (t, expand, 0) not in self._exp_cache:
                 seen.add(t)
                 todo.append(t)
         if not todo:
@@ -1394,7 +1395,7 @@ class SearchEngine:
                 d = max(self._ray.get(refs), default=0)
                 entry = ([t], {t: int(d)}) if d > 0 else ([], {})
                 if len(self._exp_cache) < 65536:
-                    self._exp_cache[(t, False)] = entry
+                    self._exp_cache[(t, False, 0)] = entry
             return
         in_flight = [(t, [s.expand_with_bounds.remote(t)
                           for s in self._route(t)]) for t in todo]
@@ -1419,9 +1420,9 @@ class SearchEngine:
                             tfm[i] = t_s[j]
                             lmn[i] = l_s[j]
                 if len(self._exp_cache) < 65536:
-                    self._exp_cache[("__bounds__", t, True)] = (tfm, lmn)
+                    self._exp_cache[("__bounds__", t, True, 0)] = (tfm, lmn)
             if len(self._exp_cache) < 65536:
-                self._exp_cache[(t, True)] = entry
+                self._exp_cache[(t, True, 0)] = entry
 
     def _prefetch_doc_sharded(self, todo, expand: bool) -> None:
         s0 = self.shards[0]
@@ -1432,7 +1433,7 @@ class SearchEngine:
                 d = int(self._ray.get(r))
                 entry = ([t], {t: d}) if d > 0 else ([], {})
                 if len(self._exp_cache) < 65536:
-                    self._exp_cache[(t, False)] = entry
+                    self._exp_cache[(t, False, 0)] = entry
             return
         refs = [(t, s0.expand_with_bounds.remote(t)) for t in todo]
         for t, r in refs:
@@ -1454,9 +1455,9 @@ class SearchEngine:
                         tfm[i] = t_s[j]
                         lmn[i] = l_s[j]
                 if len(self._exp_cache) < 65536:
-                    self._exp_cache[("__bounds__", t, True)] = (tfm, lmn)
+                    self._exp_cache[("__bounds__", t, True, 0)] = (tfm, lmn)
             if len(self._exp_cache) < 65536:
-                self._exp_cache[(t, True)] = entry
+                self._exp_cache[(t, True, 0)] = entry
 
     def _expansions_for(self, term: str, expand: bool, fuzzy: int = 0):
         """Global expansion list in reference trie order, with

@@ -255,6 +255,45 @@ def test_actor_pool_query(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_prefetch_populates_reader_cache_keys(tmp_path):
+    """The concurrent prefetch must write the SAME cache keys the
+    readers (_expansions_for / _bounds_for) probe — a key-shape drift
+    silently degrades every warm actor-pool query to the sequential
+    fan-out path (round-3 advice finding)."""
+    corpus = DOCS2
+    path = write_corpus(str(tmp_path), corpus, 2)
+    idx_dir = os.path.join(str(tmp_path), "index")
+    build_index(path, idx_dir, key_col="doc_id", field_cols=["f0", "f1"],
+                overwrite=True)
+    eng = SearchEngine(idx_dir, num_shards=2, use_actors=True)
+    terms = ["a", "b"]
+    eng._exp_cache.clear()
+    eng._prefetch_expansions(terms, True)
+    for t in terms:
+        assert (t, True, 0) in eng._exp_cache, t
+        assert ("__bounds__", t, True, 0) in eng._exp_cache, t
+    # the readers must HIT those entries (no recompute fan-out)
+    def boom(*a, **k):  # pragma: no cover - fails the test if called
+        raise AssertionError("prefetched term recomputed")
+    eng._expansions_for_uncached = boom
+    for t in terms:
+        ordered, df_map = eng._expansions_for(t, True)
+        assert ordered and df_map
+        eng._bounds_for(t, True, ordered)
+    # exact-term mode writes/reads the same shape
+    eng._exp_cache.clear()
+    eng._prefetch_expansions(terms, False)
+    for t in terms:
+        assert (t, False, 0) in eng._exp_cache, t
+        eng._expansions_for(t, False)
+    # and a second prefetch of now-cached terms is a no-op (no
+    # dead-entry refill): cache size must not grow
+    n = len(eng._exp_cache)
+    eng._prefetch_expansions(terms, False)
+    assert len(eng._exp_cache) == n
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_topk_pruning_exact(tmp_path):
     """Top-k with expansion pruning == unpruned full query, for
     single-term (pruned path incl. shard-side top-k + floor cut),
