@@ -48,6 +48,22 @@ def _grouped_arange(lengths: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
 
+def _levenshtein_capped(a: bytes, b: bytes, cap: int) -> int:
+    """Byte-level edit distance with early exit once every cell of a
+    row exceeds ``cap``.  Used only for the rare over-cap dictionary
+    terms the padded fuzzy matrix excludes."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+        if min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
 class ShardData:
     """Term dictionary + postings for one term range, merged across
     build groups.  Loaded once (actor ``__init__``), served per query.
@@ -444,24 +460,36 @@ class ShardData:
                        axis=1).astype(np.float64)
         return exp, tfm, lmn
 
+    # padded-matrix width cap: one pathological kilobyte-long dictionary
+    # term must not inflate the whole vocab's padding (10M terms × 1KB
+    # = 10GB).  Terms longer than the cap (vanishingly rare in real
+    # text) take a per-term DP in the tail scan instead.
+    _FUZZY_WIDTH_CAP = 48
+
     def _dict_matrix(self):
         """Lazily-built padded byte matrix of the dictionary (UTF-8),
         shared by every fuzzy expansion on this shard.  One-time O(vocab)
         setup (like the ``terms`` list itself), then every query is pure
-        vectorized numpy."""
+        vectorized numpy.  Memory is bounded at vocab × _FUZZY_WIDTH_CAP
+        bytes; over-cap terms live in a separate (tiny) index list."""
         dm = getattr(self, "_dmat", None)
         if dm is None:
+            cap = self._FUZZY_WIDTH_CAP
             enc = [t.encode() for t in self.terms]
-            lens = np.fromiter((len(e) for e in enc), np.int64,
-                               count=len(enc))
-            width = int(lens.max()) if len(enc) else 0
-            mat = np.zeros((len(enc), width), dtype=np.uint8)
-            if len(enc):
-                flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
-                rows = np.repeat(np.arange(len(enc)), lens)
+            all_lens = np.fromiter((len(e) for e in enc), np.int64,
+                                   count=len(enc))
+            short = np.flatnonzero(all_lens <= cap)
+            long_idx = np.flatnonzero(all_lens > cap)
+            lens = all_lens[short]
+            width = int(lens.max()) if len(short) else 0
+            mat = np.zeros((len(short), width), dtype=np.uint8)
+            if len(short):
+                kept = [enc[i] for i in short]
+                flat = np.frombuffer(b"".join(kept), dtype=np.uint8)
+                rows = np.repeat(np.arange(len(short)), lens)
                 cols = _grouped_arange(lens)
                 mat[rows, cols] = flat
-            dm = self._dmat = (mat, lens)
+            dm = self._dmat = (mat, lens, short, long_idx)
         return dm
 
     def expand_fuzzy(self, term: str, d: int) -> list[tuple[str, int, int]]:
@@ -473,10 +501,21 @@ class ShardData:
         row loop runs len(term)+width times, each step an O(vocab)
         numpy kernel — no Python loop over dictionary terms."""
         q = np.frombuffer(term.encode(), dtype=np.uint8)
-        mat, lens = self._dict_matrix()
+        mat, lens, short, long_idx = self._dict_matrix()
+        # over-cap dictionary terms: candidates only when the length
+        # window allows (|len - len(q)| <= d) — a handful at most
+        tail_hits = []
+        if len(long_idx):
+            qb = term.encode()
+            for i in long_idx:
+                t = self.terms[i]
+                if abs(len(t.encode()) - len(qb)) <= d \
+                        and _levenshtein_capped(qb, t.encode(), d) <= d:
+                    tail_hits.append((t, int(self.df[i]),
+                                      int(self.first_pos[i])))
         cand = np.flatnonzero(np.abs(lens - len(q)) <= d)
         if not len(cand):
-            return []
+            return tail_hits
         sub = mat[cand]
         sl = lens[cand]
         n, width = sub.shape
@@ -505,8 +544,10 @@ class ShardData:
             prev = cur
         dist = prev[np.arange(len(alive)), sl[alive]]
         hit = alive[dist <= d]
-        return [(self.terms[i], int(self.df[i]), int(self.first_pos[i]))
-                for i in cand[hit]]
+        out = [(self.terms[short[i]], int(self.df[short[i]]),
+                int(self.first_pos[short[i]]))
+               for i in cand[hit]]
+        return out + tail_hits
 
     def _term_index(self, term: str) -> int:
         i = bisect.bisect_left(self.terms, term)

@@ -364,8 +364,11 @@ def source_quota(docs, n: int = 30, source_col: str = "source",
 
     def combine(b: pa.Table) -> pa.Table:
         if len(b) == 0:
+            # schema must match the non-empty branch (incl. _sb) or the
+            # downstream groupby sees mixed block schemas
             return pa.table({id_col: pa.array([], pa.int64()),
-                             source_col: pa.array([], pa.string())})
+                             source_col: pa.array([], pa.string()),
+                             "_sb": pa.array([], pa.int64())})
         src = b[source_col]
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()

@@ -46,7 +46,11 @@ def _phrase_counts(batch: pa.Table, terms: list[str], cand_ref,
                              "dl": pa.array([], pa.int64())})
         batch = batch.filter(pa.array(keep))
         ids = ids[keep]
-    toks = pc.split_pattern(batch[text_col].combine_chunks(), " ")
+    # null text ⇒ empty doc (matches the tokenizer contract); without
+    # the fill a trailing null row puts len(flat) into off[:-1] and
+    # np.add.reduceat raises IndexError
+    text = pc.fill_null(batch[text_col].combine_chunks(), "")
+    toks = pc.split_pattern(text, " ")
     flat = toks.values
     nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     off = toks.offsets.to_numpy()

@@ -222,6 +222,66 @@ def test_source_quota_skew(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_fuzzy_longterm_width_cap(tmp_path):
+    """A pathological kilobyte-long dictionary term must not inflate
+    the padded fuzzy matrix (vocab × term_len memory cliff); over-cap
+    terms still match via the tail scan when within distance."""
+    long_term = "q" * 400
+    near_long = "p" + "q" * 399          # distance 1 from long_term
+    corpus = [("cat cart " + long_term,), ("bat cat tale",),
+              (near_long + " cat",)]
+    eng = build_engine(tmp_path, corpus)
+    shard = eng.shards[0]
+    mat = shard._dict_matrix()[0]
+    assert mat.shape[1] <= shard._FUZZY_WIDTH_CAP
+    # over-cap term found through the tail scan (d=1 reaches both)
+    got = {d for d, _ in eng.query(near_long, "bm25", fuzzy=1)}
+    assert got == {0, 2}
+    # normal short-term fuzzy unaffected by the split dictionary
+    want = _brute_fuzzy(corpus, "cat", 1)
+    res = eng.query("cat", "bm25", fuzzy=1)
+    assert [(d, round(s, 9)) for d, s in res] == \
+        [(d, round(s, 9)) for d, s in want]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_phrase_null_text_rows(tmp_path):
+    """Null text rows (incl. batch-trailing nulls, which used to break
+    np.add.reduceat via repeated offsets) count as empty docs."""
+    import ray
+    from probly_search_ray.stages.phrase import phrase_bm25
+    corpus = [("big cat sat",), ("x y z",)]
+    eng = build_engine(tmp_path, corpus)
+    tb = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                   "text": pa.array(["big cat sat", "x y z", None, None])})
+    ds = ray.data.from_arrow(tb)
+    out = phrase_bm25(eng, ds, "big cat")
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert list(out["doc_id"]) == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_quota_empty_block(tmp_path):
+    """An empty input block must produce the same combiner schema as
+    non-empty ones (incl. the _sb bucket column) or the downstream
+    groupby fails on mixed schemas."""
+    import ray
+    from probly_search_ray.stages.curation import source_quota
+    tb = pa.table({"doc_id": pa.array([3, 1, 2, 0], pa.int64()),
+                   "source": pa.array(["a", "a", "b", "a"])})
+    p1 = os.path.join(str(tmp_path), "d1.parquet")
+    p2 = os.path.join(str(tmp_path), "empty.parquet")
+    pq.write_table(tb, p1)
+    pq.write_table(tb.slice(0, 0), p2)
+    ds = ray.data.read_parquet([p1, p2])
+    out = source_quota(ds, n=2).to_pandas() \
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+    assert list(map(tuple, out[["doc_id", "source"]].to_numpy())) == \
+        [(0, "a"), (1, "a"), (2, "b")]
+
+
+@pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("layout", ["plain", "sharded", "doc_sharded"])
 def test_exclusion_differential(tmp_path, layout):
     """query(exclude=...) drops exactly the docs matching any exclude
