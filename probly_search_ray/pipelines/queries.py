@@ -917,7 +917,7 @@ def embedding_topk(sf_dir: str):
 def embedding_topk_ivf(sf_dir: str):
     """IVF-bucketed ANN top-10, now ORACLE-CHECKED against the same
     brute-force SQL as ``embedding_topk``: the testdata embeddings are
-    near-orthogonal, so kmeans clusters are weak and nprobe=10/16 is
+    near-orthogonal, so kmeans clusters are weak and nprobe=14/16 is
     the empirically-minimal probe width with exhaustive recall on these
     inputs (verified at sf0.001 and sf0.01) — the hash compare then
     gates the whole IVF path (centroids, assignment, probe pruning,
@@ -927,7 +927,7 @@ def embedding_topk_ivf(sf_dir: str):
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = ray.data.read_parquet(path)
     q = _first_embedding(ds)
-    df = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=10)
+    df = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=14)
     return df[df["query_idx"] == 0][["vec_id", "cosine"]].reset_index(drop=True)
 
 

@@ -50,6 +50,38 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _sample_key(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Seeded uniform rank for layout-invariant sampling: the rows with
+    the smallest key form a deterministic pseudo-random sample that is
+    independent of block layout and input order (``ds.limit()`` takes
+    the FIRST rows — biased on sorted or time-ordered input)."""
+    return pd.util.hash_array(np.ascontiguousarray(ids, dtype=np.uint64),
+                              hash_key=f"{seed % 10**16:016d}")
+
+
+def _hash_sample(emb_ds, id_col: str, vec_col: str, rows: int,
+                 seed: int) -> np.ndarray:
+    """Distributed seeded sample of ``rows`` vectors (float32 matrix,
+    ascending sample-key order).  Each batch keeps only its ``rows``
+    smallest keys, the reduced set (≤ rows·n_blocks) sorts by key, and
+    the driver pulls exactly ``rows`` rows — never the corpus."""
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        m32 = np.ascontiguousarray(_to_matrix(batch[vec_col]))
+        h = _sample_key(ids, seed)
+        if len(h) > rows:
+            keep = np.argpartition(h, rows - 1)[:rows]
+            h, m32 = h[keep], m32[keep]
+        return pa.table({
+            "h": pa.array(h.astype(np.uint64)),
+            "vec_raw": pa.array([r.tobytes() for r in m32], pa.binary())})
+
+    s = emb_ds.map_batches(part, batch_format="pyarrow") \
+        .sort("h").limit(rows).to_pandas()
+    return np.frombuffer(b"".join(s["vec_raw"]), dtype=np.float32) \
+        .reshape(len(s), -1)
+
+
 def _topk_rows_per_query(sims: np.ndarray, k: int):
     """Tie-safe per-query top-k cut over a (n, nq) similarity matrix:
     keeps every row with sim >= the query's kth value, so a later
@@ -116,8 +148,18 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,
     to broadcast.  (The scale path: sample via ds.random_sample.)"""
     rng = np.random.default_rng(seed)
     x = _normalize(sample.astype(np.float32))
-    idx = rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
-    c = x[np.sort(idx)]
+    k = min(n_clusters, len(x))
+    # deterministic farthest-first (k-center) init: seeds end up in
+    # distinct natural clusters instead of wherever a uniform draw
+    # lands, so Lloyd's converges to separated centroids reliably
+    first = int(rng.integers(0, len(x)))
+    idx = [first]
+    d = 1.0 - x @ x[first]
+    for _ in range(k - 1):
+        j = int(np.argmax(d))
+        idx.append(j)
+        d = np.minimum(d, 1.0 - x @ x[j])
+    c = x[np.asarray(idx)]
     for _ in range(iters):
         a = np.argmax(x @ c.T, axis=1)
         for j in range(len(c)):
@@ -145,9 +187,9 @@ def kmeans_full(emb_ds, n_clusters: int = 8, iters: int = 5, seed: int = 5,
 
     Returns (centroids float32 (k, dim), assign_fn) where assign_fn is
     a map_batches-ready callable emitting (id_col, cluster, cosine)."""
-    sample = emb_ds.limit(sample_rows).to_pandas()[vec_col]
-    cents = kmeans_lite(np.stack(sample.to_numpy()), n_clusters, seed=seed) \
-        .astype(np.float64)
+    sample_rows = max(sample_rows, 2 * n_clusters)
+    sm = _hash_sample(emb_ds, id_col, vec_col, sample_rows, seed)
+    cents = kmeans_lite(sm, n_clusters, seed=seed).astype(np.float64)
     dim = cents.shape[1]
 
     for _ in range(iters):
@@ -285,8 +327,8 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     """IVF-style ANN: centroid assignment per batch, score only vectors
     in the ``nprobe`` clusters closest to each query; per-batch tie-safe
     top-k truncation keeps the driver merge bounded by k·nq·n_batches."""
-    sample = emb_ds.limit(sample_rows).to_pandas()[vec_col]
-    sm = np.stack(sample.to_numpy())
+    sm = _hash_sample(emb_ds, id_col, vec_col,
+                      max(sample_rows, 2 * n_clusters), seed=5)
     cents = kmeans_lite(sm, n_clusters)
     c_ref = ray.put(cents)
     qn = _normalize(np.ascontiguousarray(queries, dtype=np.float64))

@@ -104,9 +104,14 @@ def test_kmeans_full_differential():
     df = pd.DataFrame({"vec_id": np.arange(len(x), dtype=np.int64),
                        "embedding": [r.astype(np.float32) for r in x]})
 
-    # driver-side reference: identical algorithm, single process
+    # driver-side reference: identical algorithm, single process.
+    # Init mirrors _hash_sample: all 1200 rows (< sample_rows) ordered
+    # by the seeded per-id hash key, exactly what kmeans_full sees.
+    from probly_search_ray.stages.similarity import _sample_key
     xn = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
-    c = kmeans_lite(xn[:2048].astype(np.float32), 4).astype(np.float64)
+    h = _sample_key(df["vec_id"].to_numpy(), 5)
+    sm = np.stack(df["embedding"].to_numpy())[np.argsort(h, kind="stable")]
+    c = kmeans_lite(sm.astype(np.float32), 4, seed=5).astype(np.float64)
     for _ in range(5):
         a = np.argmax(xn @ c.T, axis=1)
         new = c.copy()
