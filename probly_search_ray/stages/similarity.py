@@ -82,6 +82,65 @@ def _hash_sample(emb_ds, id_col: str, vec_col: str, rows: int,
         .reshape(len(s), -1)
 
 
+def _auto_clusters(n_rows: int, floor: int, target: int) -> int:
+    """Cluster count ∝ corpus size (bounded EXPECTED cluster size):
+    fixed k is a 100 TB scale-killer — one cluster grows as n/k, and
+    any within-cluster pairwise work grows as (n/k)².  SemDedup
+    (arXiv:2303.09540) uses k ≈ 0.1%·n for the same reason."""
+    import math
+    return max(floor, math.ceil(n_rows / max(target, 1)))
+
+
+def _dup_flags_blocked(m: np.ndarray, threshold: float,
+                       block: int = 2048) -> np.ndarray:
+    """Keep-lowest-index duplicate flags over a normalized matrix whose
+    rows are in ascending-id order: flag[i] ⇔ ∃ j < i with cosine ≥
+    threshold.  Tiled matmuls bound peak memory at one block×block
+    tile instead of an n×n boolean (the in-cluster pairwise step must
+    stay bounded even on a skewed hot cluster)."""
+    n = m.shape[0]
+    dup = np.zeros(n, dtype=bool)
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        mi = m[i0:i1]
+        for j0 in range(0, i0 + 1, block):
+            j1 = min(j0 + block, n)
+            hit = mi @ m[j0:j1].T >= threshold
+            if j0 == i0:  # within-tile: only j < i counts
+                hit = np.tril(hit, k=-1)
+            dup[i0:i1] |= hit.any(axis=1)
+    return dup
+
+
+def _blocked_pairs(ids: np.ndarray, m: np.ndarray, threshold: float,
+                   block: int = 2048, round_dp: int = 6):
+    """All (a < b, cosine ≥ threshold) pairs within one normalized
+    group, tiled so peak memory is one block×block similarity tile.
+    ``ids`` must be ascending so index order ⇔ id order."""
+    out_a, out_b, out_c = [], [], []
+    n = len(ids)
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        mi = m[i0:i1]
+        for j0 in range(i0, n, block):
+            j1 = min(j0 + block, n)
+            sims = mi @ m[j0:j1].T
+            if j0 == i0:
+                ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            else:
+                ii, jj = np.nonzero(sims >= threshold)
+            if len(ii):
+                out_a.append(ids[i0 + ii])
+                out_b.append(ids[j0 + jj])
+                out_c.append(np.round(sims[ii, jj], round_dp))
+    if not out_a:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64))
+    return (np.concatenate(out_a).astype(np.int64),
+            np.concatenate(out_b).astype(np.int64),
+            np.concatenate(out_c).astype(np.float64))
+
+
 def _topk_rows_per_query(sims: np.ndarray, k: int):
     """Tie-safe per-query top-k cut over a (n, nq) similarity matrix:
     keeps every row with sim >= the query's kth value, so a later
@@ -272,16 +331,23 @@ def kmeans_cluster_stats(emb_ds, n_clusters: int = 8, iters: int = 5,
 def semantic_dedup_drop_ids(emb_ds, n_clusters: int = 8, iters: int = 5,
                             threshold: float = 0.95, seed: int = 5,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> np.ndarray:
+                            vec_col: str = "embedding",
+                            target_cluster: int = 1024,
+                            block: int = 2048) -> np.ndarray:
     """SemDedup-style semantic deduplication (cluster-then-prune, after
     Abbas et al. 2023, arXiv:2303.09540): full-corpus spherical k-means
     (``kmeans_full``), then WITHIN each cluster drop every vector that
     has a lower-id vector at cosine ≥ threshold (deterministic
-    keep-lowest-id rule, one matmul per cluster group — no Python loop
-    over rows).  O(Σ cluster²) instead of O(n²); recall < 1 only when
-    a near-dup pair straddles a cluster boundary (gated by the
+    keep-lowest-id rule).  Scale shape: the cluster count grows with
+    the corpus (``max(n_clusters, ceil(n / target_cluster))`` — bounded
+    EXPECTED cluster size, the paper's k ∝ n), and the within-cluster
+    pairwise step is TILED (``_dup_flags_blocked``) so one skewed hot
+    cluster costs one block×block tile of memory, never (n/k)².
+    O(Σ cluster²) compute instead of O(n²); recall < 1 only when a
+    near-dup pair straddles a cluster boundary (gated by the
     planted-pair pytest).  Returns the sorted dropped-id array —
     O(#dups), small enough to broadcast as a filter."""
+    n_clusters = _auto_clusters(emb_ds.count(), n_clusters, target_cluster)
     cents, _ = kmeans_full(emb_ds, n_clusters, iters, seed,
                            id_col=id_col, vec_col=vec_col)
     c_ref = ray.put(cents.astype(np.float64))
@@ -309,7 +375,7 @@ def semantic_dedup_drop_ids(emb_ds, n_clusters: int = 8, iters: int = 5,
         m = np.frombuffer(b"".join(g["vec_raw"]), dtype=np.float32) \
             .reshape(len(g), -1)[order]
         m = _normalize(m.astype(np.float64))
-        dup = np.triu(m @ m.T >= threshold, k=1).any(axis=0)
+        dup = _dup_flags_blocked(m, threshold, block=block)
         return pd.DataFrame({id_col: ids[dup].astype(np.int64)})
 
     drops = emb_ds.map_batches(_AssignVec, batch_format="pyarrow",
@@ -430,18 +496,27 @@ def bucketed_near_dup_pairs(emb_ds, threshold: float = 0.95,
                             n_clusters: int = 16, n_probe: int = 3,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            sample_rows: int = 2048):
+                            sample_rows: int = 2048,
+                            target_bucket: int = 1024,
+                            block: int = 2048):
     """Approximate near-dup pairs for HIGH thresholds at scale: assign
     each vector to its ``n_probe`` nearest IVF clusters (multi-probe, so
     near-identical vectors landing near a cluster boundary still share
     a bucket), generate pairs only within buckets via a distributed
     ``groupby(bucket).map_groups``, dedupe, then exact-verify the
-    cosine.  O(Σ bucket²) compute instead of O(n²); recall < 1 only
-    when two vectors at cosine ≥ threshold share none of their
-    ``n_probe`` nearest centroids (vanishingly rare for thresholds
-    near 1 — gated by the planted-dup recall test)."""
-    sample = emb_ds.limit(sample_rows).to_pandas()[vec_col]
-    cents = kmeans_lite(np.stack(sample.to_numpy()), n_clusters)
+    cosine.  Scale shape: the bucket count grows with the corpus
+    (``max(n_clusters, ceil(n / target_bucket))`` — parallelism and
+    per-bucket size both bounded, not a fixed 16-way ceiling), and the
+    in-bucket all-pairs step is TILED (``_blocked_pairs``) so a skewed
+    hot bucket costs one block×block tile of memory.  O(Σ bucket²)
+    compute instead of O(n²); recall < 1 only when two vectors at
+    cosine ≥ threshold share none of their ``n_probe`` nearest
+    centroids (vanishingly rare for thresholds near 1 — gated by the
+    planted-dup recall test)."""
+    n_clusters = _auto_clusters(emb_ds.count(), n_clusters, target_bucket)
+    sm = _hash_sample(emb_ds, id_col, vec_col,
+                      max(sample_rows, 2 * n_clusters), seed=5)
+    cents = kmeans_lite(sm, n_clusters)
     c_ref = ray.put(cents)
 
     class _Assign:
@@ -478,11 +553,8 @@ def bucketed_near_dup_pairs(emb_ds, threshold: float = 0.95,
         m = np.frombuffer(b"".join(g["vec_raw"]), dtype=np.float32) \
             .reshape(len(g), -1)[order]
         m = _normalize(m.astype(np.float64))
-        sims = m @ m.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({
-            "a": ids[ii].astype(np.int64), "b": ids[jj].astype(np.int64),
-            "cosine": np.round(sims[ii, jj], 6)})
+        a, b, cos = _blocked_pairs(ids, m, threshold, block=block)
+        return pd.DataFrame({"a": a, "b": b, "cosine": cos})
 
     pairs = emb_ds.map_batches(_Assign, batch_format="pyarrow",
                                concurrency=2) \
