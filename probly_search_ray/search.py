@@ -397,15 +397,19 @@ class ShardData:
         self.len_min = [np.minimum.reduceat(self.p_len[f], seg)
                         .astype(np.uint32) for f in range(F)]
 
-    def prefault(self, warm_arena: bool = True) -> int:
+    def prefault(self, warm_arena: bool = True,
+                 arena_cap: int = 64 << 20) -> int:
         """Serving-replica warmup: (1) touch every page of the mmap'd
         posting arrays so gathers never pay lazy page-in; (2) pre-fault
-        an allocator arena sized to this shard's worst-case query
-        temporaries (~56 B/posting, capped) — with ``tune_allocator``'s
-        high trim threshold the freed pages stay in the arena and every
-        later numpy temporary reuses them instead of paying this host's
-        serialized first-touch cost on the first big query.  Returns
-        bytes touched."""
+        an allocator arena sized to a worst-case QUERY's temporaries
+        (~56 B/posting over the query's expanded df sum — NOT the whole
+        shard: query working sets are bounded by their terms' postings,
+        and this host zeroes anonymous pages at ~30 MB/s, so the old
+        whole-shard arena alone cost a measured 52 s on a 1.6 GB shard
+        while the mmap touch took 0.04 s).  The 64 MB default covers a
+        ~1.2M-posting query; a rare larger expansion faults its excess
+        once and the pages then stay in the arena (``tune_allocator``'s
+        high trim threshold).  Returns bytes touched."""
         total = 0
         for arr in [self.p_docs, *self.p_tf, *self.p_len]:
             if len(arr):
@@ -413,7 +417,7 @@ class ShardData:
                 np.add.reduce(arr[:: max(1, 4096 // arr.itemsize)])
             total += arr.nbytes
         if warm_arena and len(self.p_docs):
-            want = min(int(len(self.p_docs)) * 56, 4 << 30)
+            want = min(int(len(self.p_docs)) * 56, arena_cap)
             # sub-threshold chunks so they come from (and return to) the
             # arena, not one-shot mmaps the allocator gives back
             chunks = []
