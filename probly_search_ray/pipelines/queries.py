@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray.data
 
 from probly_search_ray.build import build_index
+from probly_search_ray.functions.sizing import auto_pool
 from probly_search_ray.search import SearchEngine
 from probly_search_ray.stages import textstats
 from probly_search_ray.stages.dedup import dedup_exact, near_dup_pairs
@@ -790,13 +791,15 @@ def token_stats(sf_dir: str):
 
 def quality_scores(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        textstats.QualityScore, batch_format="pyarrow", concurrency=2)
+        textstats.QualityScore, batch_format="pyarrow",
+        concurrency=auto_pool())
 
 
 def langid(sf_dir: str):
     """Heuristic language id (rows-only: profiles not SQL-friendly)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        textstats.LangId, batch_format="pyarrow", concurrency=2)
+        textstats.LangId, batch_format="pyarrow",
+        concurrency=auto_pool())
 
 
 def lang_dist(sf_dir: str):
@@ -939,7 +942,7 @@ def media_check(sf_dir: str):
         media_feature_pipeline, media_from_documents)
     sub = _check_sample(sf_dir)
     media = sub.map_batches(media_from_documents, batch_format="pyarrow")
-    fast = media_feature_pipeline(media, concurrency=2,
+    fast = media_feature_pipeline(media, concurrency=auto_pool(),
                                   batch_size=64).to_pandas()
     texts = sub.to_pandas()
     ref = {int(r.doc_id): _ref_media_feat_norm(r.text)
@@ -1321,7 +1324,8 @@ def media_features(sf_dir: str):
         media_feature_pipeline, media_from_documents)
     media = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         media_from_documents, batch_format="pyarrow")
-    out = media_feature_pipeline(media, concurrency=2, batch_size=64)
+    out = media_feature_pipeline(media, concurrency=auto_pool(),
+                                 batch_size=64)
     return out.select_columns(["media_id", "kind", "feat_norm"])
 
 
@@ -1484,7 +1488,7 @@ def corpus_clean(sf_dir: str):
             return pa.table({"doc_id": pa.array(ids[keep])})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        CleanFilter, batch_format="pyarrow", concurrency=2)
+        CleanFilter, batch_format="pyarrow", concurrency=auto_pool())
 
 
 # --------------------------------------------------------------------------

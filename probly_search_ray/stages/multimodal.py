@@ -214,10 +214,11 @@ class MediaFeatures:
         })
 
 
-def media_feature_pipeline(media_ds, concurrency: int = 2,
+def media_feature_pipeline(media_ds, concurrency=None,
                            batch_size: int = 64):
     """media-in → features-out; actor pool with per-actor decoder
     state, small batches for large payloads."""
+    from probly_search_ray.functions.sizing import auto_pool
     return media_ds.map_batches(
         MediaFeatures, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency)
+        batch_size=batch_size, concurrency=concurrency or auto_pool())

@@ -188,12 +188,13 @@ def _merge_topk(df: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
 
 def brute_topk(emb_ds, queries: np.ndarray, k: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               concurrency: int = 2):
+               concurrency=None):
     """Exact cosine top-k per query row.  Returns a pandas DataFrame
     (query_idx, id, cosine) with deterministic (cosine desc, id asc)
     order, cosine rounded to 6dp before ranking."""
     q_ref = ray.put(np.ascontiguousarray(queries, dtype=np.float32))
-    kwargs = {"concurrency": concurrency} if concurrency else {}
+    from probly_search_ray.functions.sizing import auto_pool
+    kwargs = {"concurrency": concurrency or auto_pool()}
     scored = emb_ds.map_batches(
         _BatchCosine, fn_constructor_args=(q_ref, id_col, vec_col, k),
         batch_format="pyarrow", **kwargs)
@@ -378,8 +379,9 @@ def semantic_dedup_drop_ids(emb_ds, n_clusters: int = 8, iters: int = 5,
         dup = _dup_flags_blocked(m, threshold, block=block)
         return pd.DataFrame({id_col: ids[dup].astype(np.int64)})
 
+    from probly_search_ray.functions.sizing import auto_pool
     drops = emb_ds.map_batches(_AssignVec, batch_format="pyarrow",
-                               concurrency=2) \
+                               concurrency=auto_pool()) \
         .groupby("cluster").map_groups(prune, batch_format="pandas") \
         .to_pandas()
     if id_col not in drops.columns:
@@ -435,7 +437,9 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
                              id_col: pa.array(np.concatenate(out_i)),
                              "cosine": pa.array(np.concatenate(out_c))})
 
-    scored = emb_ds.map_batches(_IVF, batch_format="pyarrow", concurrency=2)
+    from probly_search_ray.functions.sizing import auto_pool
+    scored = emb_ds.map_batches(_IVF, batch_format="pyarrow",
+                                concurrency=auto_pool())
     return _merge_topk(scored.to_pandas(), k, id_col)
 
 
@@ -556,8 +560,9 @@ def bucketed_near_dup_pairs(emb_ds, threshold: float = 0.95,
         a, b, cos = _blocked_pairs(ids, m, threshold, block=block)
         return pd.DataFrame({"a": a, "b": b, "cosine": cos})
 
+    from probly_search_ray.functions.sizing import auto_pool
     pairs = emb_ds.map_batches(_Assign, batch_format="pyarrow",
-                               concurrency=2) \
+                               concurrency=auto_pool()) \
         .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
     out = pairs.to_pandas()
     if "a" not in out.columns:
