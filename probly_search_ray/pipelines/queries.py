@@ -1048,13 +1048,15 @@ def top_pmi_bigrams(sf_dir: str):
     word2phrase signal, Mikolov et al. 2013): top-20 bigrams with
     count ≥ 5 by ln(n_ab·T1²/(n_a·n_b·T2)).  Distributed shape: bigram
     counts = per-batch combiner + ONE groupby-sum (same as
-    ``top_bigrams``); the unigram table (the SMALL side — vocab, not
-    corpus) broadcasts via ``ray.put``; PMI is scored per BLOCK with
-    two searchsorted gathers and each block emits its own top-20
-    (driver merge ≤ P·20 rows).  At an extreme vocab the broadcast
-    becomes a distributed hash join on the first token — the map-side
-    shape here is the common case."""
-    import ray as _ray
+    ``top_bigrams``); the n ≥ 5 floor applies BEFORE any wide step;
+    exploded (bigram, pos, term) rows and the distributed unigram df
+    table ride the SAME hash(term) % 64 shuffle (union of two
+    schema-aligned streams, the df rows tagged pos = -1), so each
+    partition attaches df with one in-partition searchsorted — no
+    vocab-sized driver pull and no Dataset.join (see ``_pb_by_term``
+    for why term-keyed joins are avoided); a second hash(bigram)
+    regroup pivots the two rows of each bigram into its PMI, and each
+    partition emits its own top-20 (driver merge ≤ P·20 rows)."""
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1081,32 +1083,63 @@ def top_pmi_bigrams(sf_dir: str):
         .filter(lambda r: r["len"] > 0)).count())
     )
 
+    def _row_table(term, bigram, n, pos) -> pa.Table:
+        return pa.table({
+            "term": pa.array(term, type=pa.string()),
+            "bigram": pa.array(bigram, type=pa.string()),
+            "n": pa.array(np.asarray(n, np.int64)),
+            "pos": pa.array(np.asarray(pos, np.int8))})
+
     def explode(b: pa.Table) -> pa.Table:
-        """Candidate bigrams (n ≥ 5 — the PMI list's own floor, applied
-        BEFORE the joins) fan out to one row per constituent token."""
+        """Candidate bigrams (n ≥ 5) fan out to one row per
+        constituent token."""
         keep = b["n"].to_numpy() >= 5
         big = b["bigram"].to_numpy(zero_copy_only=False)[keep] \
             .astype(object)
         n = b["n"].to_numpy()[keep].astype(np.int64)
         if not len(big):
-            return pa.table({"bigram": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64()),
-                             "pos": pa.array([], pa.int8()),
-                             "term": pa.array([], pa.string())})
+            return _row_table([], [], [], [])
         parts = pd.Series(big).str.split(" ", n=1, expand=True)
-        return pa.table({
-            "bigram": pa.array(np.concatenate((big, big)),
-                               type=pa.string()),
-            "n": pa.array(np.concatenate((n, n))),
-            "pos": pa.array(np.concatenate((
-                np.zeros(len(big), np.int8), np.ones(len(big), np.int8)))),
-            "term": pa.array(np.concatenate((
-                parts[0].to_numpy(object), parts[1].to_numpy(object))),
-                type=pa.string())})
+        return _row_table(
+            np.concatenate((parts[0].to_numpy(object),
+                            parts[1].to_numpy(object))),
+            np.concatenate((big, big)),
+            np.concatenate((n, n)),
+            np.concatenate((np.zeros(len(big), np.int8),
+                            np.ones(len(big), np.int8))))
 
-    joined = agg.map_batches(explode, batch_format="pyarrow") \
-        .join(uni, join_type="inner",
-              num_partitions=_join_partitions(None), on=("term",))
+    def df_rows(b: pa.Table) -> pa.Table:
+        """Unigram df rows, schema-aligned for the union (pos = -1)."""
+        t = b["term"].to_numpy(zero_copy_only=False).astype(object)
+        return _row_table(t, np.full(len(t), "", object),
+                          b["df"].to_numpy(), np.full(len(t), -1, np.int8))
+
+    ex = agg.map_batches(explode, batch_format="pyarrow")
+    both = ex.union(uni.map_batches(df_rows, batch_format="pyarrow"))
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        """One term-hash partition holds a term's df row AND every
+        bigram row referencing it: one searchsorted attaches df."""
+        pos = g["pos"].to_numpy()
+        is_df = pos == -1
+        if not (~is_df).any():
+            return pd.DataFrame({"bigram": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "pos": pd.Series(dtype=np.int8),
+                                 "df": pd.Series(dtype=np.int64)})
+        t = g["term"].to_numpy().astype(object)
+        dft = t[is_df]
+        o = np.argsort(dft)
+        dfv = g["n"].to_numpy(np.int64)[is_df][o]
+        idx = np.searchsorted(dft[o], t[~is_df])
+        return pd.DataFrame({
+            "bigram": g["bigram"].to_numpy()[~is_df],
+            "n": g["n"].to_numpy(np.int64)[~is_df],
+            "pos": pos[~is_df],
+            "df": dfv[idx]})
+
+    joined = both.map_batches(_pb_by_term(), batch_format="pyarrow") \
+        .groupby("pb").map_groups(attach_df, batch_format="pandas")
 
     def pmi_part(g: pd.DataFrame) -> pd.DataFrame:
         """One partition = a hash range of bigrams; both rows of every
@@ -1125,14 +1158,8 @@ def top_pmi_bigrams(sf_dir: str):
         return pd.DataFrame({"bigram": big[o][0::2],
                              "n": nab.astype(np.int64), "pmi": pmi})
 
-    def add_pb(b: pa.Table) -> pa.Table:
-        from probly_search_ray.functions.hashing import hash_tokens_u64
-        col = b["bigram"].to_numpy(zero_copy_only=False).astype(object)
-        pb = (hash_tokens_u64(col) % np.uint64(64)).astype(np.int64) \
-            if len(col) else np.empty(0, np.int64)
-        return b.append_column("pb", pa.array(pb))
-
-    scored = joined.map_batches(add_pb, batch_format="pyarrow") \
+    scored = joined.map_batches(_pb_by_term("bigram"),
+                                batch_format="pyarrow") \
         .groupby("pb").map_groups(pmi_part, batch_format="pandas")
     return _topk_rows(scored, ["pmi", "bigram"], [False, True], 20)
 
@@ -1218,6 +1245,21 @@ def _doc_term_rows(b: pa.Table, with_len: bool = False) -> pa.Table:
     return pa.table(cols)
 
 
+def _norm_empty(ds, fields):
+    """Ray's hash-shuffle groupby/aggregate can emit a 0-COLUMN table
+    for an empty partition; a downstream Acero hash join then dies with
+    'No match or multiple matches for key field reference ... on right
+    side of the join' (intermittent — depends on which partitions end
+    up empty).  Replace any column-less block with a typed empty block
+    before handing the stream to a join."""
+    schema = pa.schema(fields)
+
+    def fix(b: pa.Table) -> pa.Table:
+        return schema.empty_table() if b.num_columns == 0 else b
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 def _join_partitions(want: int | None = None) -> int:
     """Hash-join partition count sized to the session: the join's
     shuffle aggregators are ACTORS — asking for more partitions than
@@ -1228,7 +1270,11 @@ def _join_partitions(want: int | None = None) -> int:
         return want
     try:
         import ray as _ray
-        return max(2, min(32, int(_ray.cluster_resources().get("CPU", 8))))
+        # 8 aggregator actors saturate the small-side joins used here
+        # (measured: 32 partitions tripled dup_clusters' wall at sf0.1
+        # from actor startup/finalize overhead); at real scale callers
+        # pass an explicit count ≈ cluster cores.
+        return max(2, min(8, int(_ray.cluster_resources().get("CPU", 8))))
     except Exception:
         return 8
 
@@ -1241,32 +1287,76 @@ def _pb_by_doc(parts: int = 64):
     return add_pb
 
 
-def tfidf_top3(sf_dir: str, num_partitions: int | None = None):
+def _pb_by_term(col: str = "term", parts: int = 64):
+    """Fixed-partition shuffle key on a string column: all rows of one
+    key value co-locate, so per-key aggregates (df, occ) are EXACT when
+    computed inside the partition — no join, no second stream.  (Ray
+    2.49's Dataset.join crashes on partitions with an empty side —
+    pa.Table.join over a schema-less empty table — which is guaranteed
+    whenever num_partitions exceeds the number of distinct keys, so
+    term-keyed joins are avoided entirely.)"""
+    from probly_search_ray.functions.hashing import hash_tokens_u64
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(object)
+        pb = (hash_tokens_u64(v) % np.uint64(parts)).astype(np.int64) \
+            if len(v) else np.empty(0, np.int64)
+        return b.append_column("pb", pa.array(pb))
+
+    return add_pb
+
+
+def _run_lengths(sorted_keys: np.ndarray):
+    """(starts, lengths, inverse) of equal-value runs in a sorted
+    array — the vectorized per-partition group-by."""
+    st = np.flatnonzero(np.concatenate(
+        ([True], sorted_keys[1:] != sorted_keys[:-1])))
+    ln = np.diff(np.concatenate((st, [len(sorted_keys)])))
+    inv = np.repeat(np.arange(len(st)), ln)
+    return st, ln, inv
+
+
+def tfidf_top3(sf_dir: str):
     """Per-doc top-3 terms by tf·idf (idf = ln(N / df_docs), distinct-doc
     df).  Fully distributed — NO vocab-sized driver pull (the 100 TB
     vocabulary is 10^10+ rows): exploded distinct (doc_id, term, tf)
-    rows hash-JOIN the distributed df table on term, then a
-    fixed-partition (doc_id % 64) regroup computes each doc's top-3
-    with one vectorized lexsort per partition."""
-    from ray.data.aggregate import Count
-
+    rows shuffle ONCE by hash(term) % 64; every row of a term lands in
+    one partition, so df and the tf·idf score are computed exactly
+    in-partition (vectorized run-length group-by — cheaper than a join,
+    and immune to the empty-partition join crash, see ``_pb_by_term``).
+    A second fixed-partition (doc_id % 64) regroup computes each doc's
+    top-3 with one vectorized lexsort per partition.  Hot terms skew a
+    partition's ROW count but the per-partition work stays one C-level
+    pass; at real scale vocab ≫ partitions balances the shuffle."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     n_docs = docs.count()
 
     dt = docs.map_batches(_doc_term_rows, batch_format="pyarrow")
-    df_tbl = dt.select_columns(["term"]).groupby("term") \
-        .aggregate(Count(alias_name="df"))
-    joined = dt.join(df_tbl, join_type="inner",
-                     num_partitions=_join_partitions(num_partitions),
-                     on=("term",))
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "term": pd.Series(dtype=str),
+                                 "score": pd.Series(dtype=np.float64)})
+        t = g["term"].to_numpy().astype(object)
+        o = np.argsort(t, kind="stable")
+        t_s = t[o]
+        st, ln, inv = _run_lengths(t_s)
+        df = ln[inv].astype(np.float64)  # rows-per-term == distinct-doc df
+        score = g["tf"].to_numpy(np.float64)[o] * np.log(n_docs / df)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64)[o],
+                             "term": t_s,
+                             "score": score})
+
+    scored = dt.map_batches(_pb_by_term(), batch_format="pyarrow") \
+        .groupby("pb").map_groups(score_part, batch_format="pandas")
 
     def top3(part: pd.DataFrame) -> pd.DataFrame:
         if not len(part):
             return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                                  "term": pd.Series(dtype=str),
                                  "score": pd.Series(dtype=np.float64)})
-        score = part["tf"].to_numpy(np.float64) \
-            * np.log(n_docs / part["df"].to_numpy(np.float64))
+        score = part["score"].to_numpy(np.float64)
         d = part["doc_id"].to_numpy(np.int64)
         t = part["term"].to_numpy().astype(object)
         # top-3 per doc by (score desc, term asc)
@@ -1280,7 +1370,7 @@ def tfidf_top3(sf_dir: str, num_partitions: int | None = None):
                              "term": t[o2][keep],
                              "score": np.round(score[o2][keep], 6)})
 
-    return joined.map_batches(_pb_by_doc(), batch_format="pyarrow") \
+    return scored.map_batches(_pb_by_doc(), batch_format="pyarrow") \
         .groupby("pb").map_groups(top3, batch_format="pandas")
 
 
@@ -1372,8 +1462,10 @@ def dup_clusters(sf_dir: str):
 
     hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         add_content_hash, batch_format="pyarrow")
-    mins = hashed.groupby("content_hash").aggregate(
-        Min("doc_id", alias_name="cluster_id"))
+    mins = _norm_empty(
+        hashed.groupby("content_hash").aggregate(
+            Min("doc_id", alias_name="cluster_id")),
+        [("content_hash", pa.string()), ("cluster_id", pa.int64())])
     joined = hashed.join(mins, join_type="inner",
                          num_partitions=_join_partitions(None),
                          on=("content_hash",))
@@ -1515,44 +1607,47 @@ def repetition_stats(sf_dir: str):
     return curation.repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
-def unigram_logprob(sf_dir: str, num_partitions: int | None = None):
+def unigram_logprob(sf_dir: str):
     """Perplexity-proxy quality score: mean unigram log-prob under the
     corpus LM (p(t) = occurrences of t / total tokens).  Fully
     distributed — NO vocab-sized driver pull: exploded (doc_id, term,
-    tf, len) rows hash-JOIN the distributed occurrence table on term,
-    per-row contribution tf·ln(occ/T) is pre-summed per (batch, doc),
-    and a fixed-partition (doc_id % 64) regroup finishes each doc's
-    mean.  (``curation.unigram_logprob`` keeps the broadcast variant
-    for small-vocab callers.)"""
+    tf, len) rows shuffle ONCE by hash(term) % 64; occ(term) is exact
+    in-partition (all of a term's rows co-locate), each partition emits
+    per-doc partial sums Σ tf·ln(occ/T), and a fixed-partition
+    (doc_id % 64) regroup finishes each doc's mean.  T (total tokens)
+    is one scalar Sum aggregate.  (``curation.unigram_logprob`` keeps
+    the broadcast variant for small-vocab callers.)"""
     from functools import partial as _partial
-    from ray.data.aggregate import Sum
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     dt = docs.map_batches(_partial(_doc_term_rows, with_len=True),
                           batch_format="pyarrow")
-    occ = dt.select_columns(["term", "tf"]).groupby("term") \
-        .aggregate(Sum("tf", alias_name="occ"))
-    total = float(occ.sum("occ"))
-    joined = dt.join(occ, join_type="inner",
-                     num_partitions=_join_partitions(num_partitions),
-                     on=("term",))
+    total = float(dt.sum("tf"))
 
-    def contrib(b: pa.Table) -> pa.Table:
-        """Per-(batch, doc) partial sums — the combiner before the
-        per-doc shuffle (≤ docs-per-batch rows leave, not one per
-        (doc, term))."""
-        c = b["tf"].to_numpy().astype(np.float64)
-        lp = np.log(b["occ"].to_numpy().astype(np.float64) / total)
-        d = b["doc_id"].to_numpy()
-        o = np.argsort(d, kind="stable")
-        d_s = d[o]
-        st = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1]))) \
-            if len(d_s) else np.empty(0, np.int64)
-        return pa.table({
-            "doc_id": pa.array(d_s[st]),
-            "len": pa.array(b["len"].to_numpy()[o][st].astype(np.int64)),
-            "part": pa.array(np.add.reduceat((c * lp)[o], st)
-                             if len(st) else np.empty(0, np.float64))})
+    def contrib_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One term-hash partition: exact per-term occ, then per-doc
+        partial sums (the combiner before the per-doc shuffle)."""
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "len": pd.Series(dtype=np.int64),
+                                 "part": pd.Series(dtype=np.float64)})
+        t = g["term"].to_numpy().astype(object)
+        o = np.argsort(t, kind="stable")
+        tf = g["tf"].to_numpy(np.float64)[o]
+        st, ln, inv = _run_lengths(t[o])
+        occ = np.add.reduceat(tf, st)[inv]  # Σ tf per term, broadcast back
+        contrib = tf * np.log(occ / total)
+        d = g["doc_id"].to_numpy(np.int64)[o]
+        o2 = np.argsort(d, kind="stable")
+        d_s = d[o2]
+        st2, _, _ = _run_lengths(d_s)
+        return pd.DataFrame({
+            "doc_id": d_s[st2],
+            "len": g["len"].to_numpy(np.int64)[o][o2][st2],
+            "part": np.add.reduceat(contrib[o2], st2)})
+
+    parts = dt.map_batches(_pb_by_term(), batch_format="pyarrow") \
+        .groupby("pb").map_groups(contrib_part, batch_format="pandas")
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -1561,14 +1656,13 @@ def unigram_logprob(sf_dir: str, num_partitions: int | None = None):
         d = g["doc_id"].to_numpy(np.int64)
         o = np.argsort(d, kind="stable")
         d_s = d[o]
-        st = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        st, _, _ = _run_lengths(d_s)
         sums = np.add.reduceat(g["part"].to_numpy(np.float64)[o], st)
         lens = g["len"].to_numpy(np.float64)[o][st]
         return pd.DataFrame({"doc_id": d_s[st],
                              "logprob": np.round(sums / lens, 6)})
 
-    return joined.map_batches(contrib, batch_format="pyarrow") \
-        .map_batches(_pb_by_doc(), batch_format="pyarrow") \
+    return parts.map_batches(_pb_by_doc(), batch_format="pyarrow") \
         .groupby("pb").map_groups(finish, batch_format="pandas")
 
 
