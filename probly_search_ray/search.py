@@ -1135,6 +1135,11 @@ class SearchEngine:
             # per-shard term ranges → per-term RPC routing (a unigram
             # query touches ONE shard, not the whole pool)
             self._ranges = bounds
+        # On a doc-sharded pool a query's temporaries split ~1/D per
+        # shard (every shard scores only its own docs), so each actor's
+        # arena shrinks accordingly — pool-wide warm cost stays ~one
+        # query working set, not D of them.
+        arena_cap = max(16 << 20, (64 << 20) // max(self.doc_shards, 1))
         if self.use_actors:
             import ray
             # size CPU requests so the whole pool always schedules, even
@@ -1146,12 +1151,13 @@ class SearchEngine:
                            for kw in kwargs]
             self._ray = ray
             if self._prefault:
-                ray.get([s.prefault.remote() for s in self.shards])
+                ray.get([s.prefault.remote(arena_cap=arena_cap)
+                         for s in self.shards])
         else:
             self.shards = [ShardData(self.index_dir, **kw) for kw in kwargs]
             if self._prefault:
                 for s in self.shards:
-                    s.prefault()
+                    s.prefault(arena_cap=arena_cap)
 
     @staticmethod
     def _sig(man: Manifest):
