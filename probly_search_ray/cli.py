@@ -129,6 +129,44 @@ def cmd_stats(args):
     }))
 
 
+def cmd_pipeline(args):
+    """Run any registered data-processing pipeline (the `queries()`
+    surface — dedup, similarity, text analysis, windows, curation…)
+    over a parquet table directory.  Streams the result to partitioned
+    parquet with --out (resumable consumption: one file per block, a
+    re-run with a different --out never clobbers), else prints a
+    row-count + head sample."""
+    _ensure_ray()
+    from probly_search_ray.pipelines.queries import QUERIES
+    if args.name == "list" or args.name not in QUERIES:
+        names = sorted(QUERIES)
+        if args.name != "list":
+            print(json.dumps({"error": f"unknown pipeline {args.name!r}",
+                              "available": names}))
+            raise SystemExit(2)
+        print(json.dumps(names))
+        return
+    import ray.data as rd
+    res = QUERIES[args.name](args.sf_dir)
+    if args.out:
+        if not isinstance(res, rd.Dataset):
+            import pyarrow as pa_
+            res = rd.from_arrow(pa_.Table.from_pandas(res))
+        res.write_parquet(args.out)
+        import glob as _glob
+        files = _glob.glob(f"{args.out}/*.parquet")
+        print(json.dumps({"pipeline": args.name, "out": args.out,
+                          "files": len(files)}))
+    else:
+        df = res.to_pandas() if not hasattr(res, "head") or \
+            isinstance(res, rd.Dataset) else res
+        print(json.dumps({
+            "pipeline": args.name, "rows": int(len(df)),
+            "columns": list(map(str, df.columns)),
+            "head": json.loads(df.head(args.head).to_json(
+                orient="records", date_format="iso"))}))
+
+
 def cmd_merge(args):
     _ensure_ray()
     from probly_search_ray.maintain import merge_indexes
@@ -226,6 +264,19 @@ def main(argv=None):
                          "the metadata merge (distributed)")
     mg.add_argument("--overwrite", action="store_true")
     mg.set_defaults(fn=cmd_merge)
+
+    pl = sub.add_parser(
+        "pipeline", help="run a registered data-processing pipeline "
+        "(use --name list to enumerate)")
+    pl.add_argument("--name", required=True,
+                    help="pipeline name from queries(), or 'list'")
+    pl.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="directory holding the parquet tables")
+    pl.add_argument("--out", default=None,
+                    help="write result as partitioned parquet here")
+    pl.add_argument("--head", type=int, default=5,
+                    help="sample rows to print when --out is not given")
+    pl.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
     args.fn(args)
