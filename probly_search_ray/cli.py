@@ -152,8 +152,17 @@ def cmd_pipeline(args):
         if not isinstance(res, rd.Dataset):
             import pyarrow as pa_
             res = rd.from_arrow(pa_.Table.from_pandas(res))
-        res.write_parquet(args.out)
         import glob as _glob
+        stale = _glob.glob(f"{args.out}/*.parquet")
+        if stale:
+            # a prior run's files would silently mix with (and possibly
+            # schema-conflict) this run's output under a glob read
+            print(json.dumps({
+                "error": f"--out {args.out!r} already holds "
+                         f"{len(stale)} parquet file(s)",
+                "hint": "pick a fresh directory or delete the old files"}))
+            raise SystemExit(2)
+        res.write_parquet(args.out)
         files = _glob.glob(f"{args.out}/*.parquet")
         print(json.dumps({"pipeline": args.name, "out": args.out,
                           "files": len(files)}))

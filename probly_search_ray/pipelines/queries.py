@@ -1205,18 +1205,12 @@ def events_sliding(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["ts", "event_type", "value"])
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["event_type", "window_start"]) \
-        .aggregate(Sum("n_part", alias_name="n"),
-                   Sum("sum_part", alias_name="sum_value"))
-
-    def rnd(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = df["sum_value"].round(6)
-        return df
-
     # stays a streaming Dataset: the window table is #types × #windows
-    # rows (grows with corpus duration) — round in-stream, no driver pull
-    return agg.map_batches(rnd, batch_format="pandas")
+    # rows (grows with corpus duration) — fixed-partition finish, no
+    # driver pull, no multi-key aggregate (see _events_pb)
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(_events_pb, batch_format="pyarrow") \
+        .groupby("pb").map_groups(_events_finish, batch_format="pandas")
 
 
 def _doc_term_rows(b: pa.Table, with_len: bool = False) -> pa.Table:
@@ -1419,27 +1413,73 @@ def media_features(sf_dir: str):
     return out.select_columns(["media_id", "kind", "feat_norm"])
 
 
-def events_hourly(sf_dir: str):
-    """Tumbling 1-hour window aggregate over the events stream table."""
-    from ray.data.aggregate import Count, Sum
+def _events_pb(b: pa.Table) -> pa.Table:
+    """Fixed-partition key over (event_type, window_start) — the
+    repo-standard shape for windowed aggregates (Ray's MULTI-key
+    groupby().aggregate() is the measured ~30× slower path on this
+    workload class, and window count grows with corpus duration)."""
+    from probly_search_ray.functions.hashing import hash_tokens_u64
+    et = b["event_type"].to_numpy(zero_copy_only=False).astype(object)
+    if len(et):
+        wi = b["window_start"].to_numpy().astype("datetime64[us]") \
+            .astype(np.uint64)
+        pb = ((hash_tokens_u64(et) ^ wi) % np.uint64(64)).astype(np.int64)
+    else:
+        pb = np.empty(0, np.int64)
+    return b.append_column("pb", pa.array(pb))
 
-    def add_window(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        w = pc.floor_temporal(b["ts"], unit="hour")
-        return b.append_column("window_start", w)
+
+def _events_finish(g: pd.DataFrame) -> pd.DataFrame:
+    """One partition of combined (event_type, window) partials →
+    final (n, sum_value) rows; C-level pandas groupby over the small
+    post-combiner row set."""
+    if not len(g):
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype=str),
+            "window_start": pd.Series(dtype="datetime64[us]"),
+            "n": pd.Series(dtype=np.int64),
+            "sum_value": pd.Series(dtype=np.float64)})
+    out = g.groupby(["event_type", "window_start"], as_index=False).agg(
+        n=("n_part", "sum"), sum_value=("sum_part", "sum"))
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream table:
+    per-batch combiner (one row per (type, window) per batch), then ONE
+    fixed-partition shuffle with a vectorized per-partition finish."""
+    HOUR_US = 3600 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        wi = ts // HOUR_US
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        d = et.dictionary_encode()
+        codes = d.indices.to_numpy().astype(np.int64)
+        val = b["value"].to_numpy()
+        key = (codes << np.int64(40)) | wi  # wi ~ 5e5 hours ≪ 2^40
+        order = np.argsort(key, kind="stable")
+        k_s, v_s = key[order], val[order]
+        st = np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))
+        n_part = np.diff(np.concatenate((st, [len(k_s)])))
+        kc = (k_s[st] >> np.int64(40)).astype(np.int64)
+        kw = (k_s[st] & np.int64((1 << 40) - 1)) * HOUR_US
+        return pa.table({
+            "event_type": d.dictionary.take(pa.array(kc)).cast(pa.string()),
+            "window_start": pa.array(kw.astype("datetime64[us]")),
+            "n_part": pa.array(n_part.astype(np.int64)),
+            "sum_part": pa.array(np.add.reduceat(v_s, st)),
+        })
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["ts", "event_type", "value"])
-    agg = ds.map_batches(add_window, batch_format="pyarrow") \
-        .groupby(["event_type", "window_start"]) \
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-
-    def rnd(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = df["sum_value"].round(6)
-        return df
-
-    return agg.map_batches(rnd, batch_format="pandas")
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(_events_pb, batch_format="pyarrow") \
+        .groupby("pb").map_groups(_events_finish, batch_format="pandas")
 
 
 def sessions(sf_dir: str):
