@@ -2751,7 +2751,7 @@ _FRONT = [
     "zero_to_one_search", "embedding_topk_ivf", "tfidf_top3",
     "unigram_logprob", "top_pmi_bigrams", "embedding_near_dups",
     "embedding_near_dups_bucketed", "bm25_doc_sharded",
-    "bm25_merged_index",
+    "bm25_merged_index", "events_hourly", "events_sliding",
 ]
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 QUERIES = {k: QUERIES[k] for k in
