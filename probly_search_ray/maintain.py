@@ -144,8 +144,11 @@ class _Compactor:
         F = self.nf
         nrows = len(post_tbl)
         if nrows == 0:
+            # build the empty table FROM the schema: the input batch can
+            # carry a hive-inferred `group` partition column (read from
+            # terms/group=G/...), which a cast() would reject
             return meta_out if meta_out is not None else \
-                batch.slice(0, 0).cast(SEGMENT_SCHEMA)
+                SEGMENT_SCHEMA.empty_table()
         blob_col = post_tbl["blob"].combine_chunks()
         off_buf = np.frombuffer(blob_col.buffers()[1], dtype=np.int64)
         off_arr = off_buf[blob_col.offset: blob_col.offset + nrows + 1]
@@ -355,6 +358,7 @@ def vacuum(index_dir: str) -> None:
         out = ds.map_batches(_Compactor(tomb_arr, nf),
                              batch_format="pyarrow")
         out = out.sort(["term", "doc_lo"])
+        os.makedirs(tmp_dir, exist_ok=True)  # zero rows → no dir written
         out.write_parquet(tmp_dir)
         os.replace(tmp_dir, new_dir)
         # refresh lineage: term ranges + docmeta for this group

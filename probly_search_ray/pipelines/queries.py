@@ -1071,17 +1071,20 @@ def top_pmi_bigrams(sf_dir: str):
                                             type=pa.string()),
                          "n_part": pa.array(c.astype(np.int64))})
 
+    # both aggregated tables are consumed twice (a scalar total + the
+    # union/explode stream); materialize the POST-shuffle vocab-sized
+    # results so the corpus-scan+shuffle upstream runs exactly once —
+    # two corpus passes total (term_df, bigrams), down from four
     agg = _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby("bigram").aggregate(Sum("n_part", alias_name="n"))
+        .groupby("bigram").aggregate(Sum("n_part", alias_name="n")) \
+        .materialize()
 
-    uni = term_df(sf_dir)  # distributed (term, df) — NEVER driver-pulled
+    uni = term_df(sf_dir).materialize()  # (term, df) — never driver-pulled
     t1 = float(uni.sum("df"))
-    # total bigram count = Σ per-doc (len-1) = T1 − num_docs_with_tokens
-    t2 = float(t1 - int((_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        textstats.doc_lengths, batch_format="pyarrow")
-        .filter(lambda r: r["len"] > 0)).count())
-    )
+    # total bigram slots = Σ per-doc max(len−1, 0) — exactly the sum of
+    # all adjacent-same-doc pair counts, i.e. Σ n over the bigram table
+    t2 = float(agg.sum("n"))
 
     def _row_table(term, bigram, n, pos) -> pa.Table:
         return pa.table({
@@ -1662,7 +1665,11 @@ def unigram_logprob(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "text"])
     dt = docs.map_batches(_partial(_doc_term_rows, with_len=True),
                           batch_format="pyarrow")
-    total = float(dt.sum("tf"))
+    # T = total token count — a light split-and-count pass (the lazy
+    # `dt` explode would otherwise execute TWICE: once for this scalar,
+    # once for the term-hash shuffle below)
+    total = float(docs.map_batches(
+        textstats.doc_lengths, batch_format="pyarrow").sum("len"))
 
     def contrib_part(g: pd.DataFrame) -> pd.DataFrame:
         """One term-hash partition: exact per-term occ, then per-doc

@@ -281,7 +281,14 @@ def kmeans_full(emb_ds, n_clusters: int = 8, iters: int = 5, seed: int = 5,
             s = mat.sum(axis=0)
             if g["n"].sum() > 0:
                 new[cl] = s  # empty clusters keep their old centroid
-        cents = _normalize(new)
+        new = _normalize(new)
+        if np.array_equal(new, cents):
+            # exact fixed point: assignments can't change, so every
+            # remaining iteration is a bitwise no-op — stop paying a
+            # full corpus pass per skipped iteration (result identical
+            # to running all `iters`)
+            break
+        cents = new
 
     c_final = ray.put(cents)
 

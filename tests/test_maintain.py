@@ -170,6 +170,24 @@ def test_vacuum_swaps_atomically_and_gc(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_vacuum_all_docs_tombstoned(tmp_path):
+    """Vacuum where EVERY doc is tombstoned: every compactor batch takes
+    the all-rows-dropped path.  Regression: read_parquet on files under
+    terms/group=G/ hive-infers a `group` column, and the old empty-batch
+    `cast(SEGMENT_SCHEMA)` rejected the extra column (flaky — it fired
+    only when batch coalescing isolated a fully-dropped batch)."""
+    f1 = str(tmp_path / "p.parquet")
+    _write_file(f1, [(i, "alpha beta w%d" % i) for i in range(8)])
+    idx = str(tmp_path / "index")
+    build_index([f1], idx, field_cols=["f0"])
+    remove_documents(idx, list(range(8)))
+    vacuum(idx)
+    assert Stats(idx).num_docs == 0
+    eng = SearchEngine(idx)
+    assert eng.query("alpha", "bm25") == []
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bulk_search_sharded_pool(tmp_path):
     """Sharded bulk mode (one resident shard pool + thin coordinator
     actors) returns exactly what the load-everything mode returns."""
