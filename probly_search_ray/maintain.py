@@ -261,7 +261,11 @@ def compact_groups(index_dir: str) -> int:
     for d in (tmp_dir, new_dir):
         if os.path.exists(d):
             shutil.rmtree(d)
-    ds = ray.data.read_parquet(sorted(all_files))
+    # prune to the segment columns: reading files under terms/group=G/
+    # hive-infers a `group` partition column, which would otherwise be
+    # WRITTEN into the compacted files (stale values, wasted bytes)
+    ds = ray.data.read_parquet(sorted(all_files)) \
+        .select_columns(SEGMENT_SCHEMA.names)
     nparts = max(16, 2 * int(__import__("ray").available_resources()
                              .get("CPU", 8)))
     ds.repartition(nparts).sort(["term", "doc_lo"]).write_parquet(tmp_dir)

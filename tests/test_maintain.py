@@ -248,6 +248,13 @@ def test_compact_groups(tmp_path):
     assert compact_groups(idx) == 4
     man = Manifest(idx)
     assert sorted(man.groups) == ["00000", "00001", "00002", "00003"]
+    # compacted files carry EXACTLY the segment schema — the
+    # hive-inferred `group` partition column must not be written back
+    from probly_search_ray.stages.segment import SEGMENT_SCHEMA
+    for rec in man.term_files():
+        names = pq.ParquetFile(
+            os.path.join(idx, rec["path"])).schema_arrow.names
+        assert names == SEGMENT_SCHEMA.names, names
     assert sum(1 for r in man.groups.values() if r["term_files"]) == 1
     eng2 = SearchEngine(idx)
     for q, want in before.items():
