@@ -505,9 +505,15 @@ def merge_indexes(source_dirs, dest_dir: str, compact: bool = False,
         from ray.data.aggregate import Count
         meta_files = [f for s in source_dirs for f in sorted(
             glob.glob(os.path.join(s, "docmeta", "*.parquet")))]
+        def _dups_only(b):
+            import pyarrow.compute as pc
+            return b.filter(pc.greater(b["n"], 1))
+
+        # vectorized filter: the aggregate is one row PER DOC — a
+        # Python row filter here would walk the whole corpus
         dup = ray.data.read_parquet(meta_files, columns=["doc_id"]) \
             .groupby("doc_id").aggregate(Count(alias_name="n")) \
-            .filter(lambda r: r["n"] > 1).take(1)
+            .map_batches(_dups_only, batch_format="pyarrow").take(1)
         if dup:
             raise ValueError(
                 f"duplicate doc_id across sources (e.g. {dup[0]['doc_id']})")
