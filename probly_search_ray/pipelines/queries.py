@@ -952,6 +952,166 @@ def media_check(sf_dir: str):
     return pd.DataFrame({"n_checked": [len(fast)], "n_agree": [agree]})
 
 
+def _ref_mix64(v: int) -> int:
+    """Pure-Python reimplementation of the 64-bit integer finalizer
+    pandas.util.hash_array applies to numeric arrays (splitmix64-style
+    xor-multiply mix; hash_key only affects OBJECT arrays) — the hash
+    behind both the HLL registers and the seeded-sample ranking.
+    Verified bit-equal to pd.util.hash_array over uint64 inputs."""
+    v &= _M64
+    v = (v ^ (v >> 30)) * 0xBF58476D1CE4E5B9 & _M64
+    v = (v ^ (v >> 27)) * 0x94D049BB133111EB & _M64
+    return v ^ (v >> 31)
+
+
+def _ref_hll_estimate(values) -> float:
+    """Independent PURE-PYTHON HyperLogLog (p=12) over one key's
+    values: big-int mix + bit_length leading-zero count + the standard
+    estimator with the linear-counting correction, no numpy and no
+    code shared with ``stages.sketches``."""
+    import math
+    p = 12
+    m = 1 << p
+    regs = [0] * m
+    for v in values:
+        h = _ref_mix64(int(v))
+        idx = h >> (64 - p)
+        r = h & ((1 << (64 - p)) - 1)
+        rho = (64 - p) - r.bit_length() + 1     # bit_length(0) == 0
+        if rho > regs[idx]:
+            regs[idx] = rho
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    z = 1.0 / sum(2.0 ** -r for r in regs)
+    e = alpha * m * m * z
+    v0 = regs.count(0)
+    if e <= 2.5 * m and v0 > 0:
+        e = m * math.log(m / v0)
+    return e
+
+
+def hll_check(sf_dir: str):
+    """Cross-implementation check for the HyperLogLog pipeline: the
+    REAL distributed sketch (per-batch register partials + max-merge
+    groupby) runs over the events table and its per-key estimate is
+    pinned to the pure-Python reimplementation above (exact int64
+    equality — both sides round the same double estimator; the only
+    FP-order difference is the 4096-register sum, whose error is
+    orders of magnitude below the rounding grain).  The oracle pins
+    n_agree == n_checked == #event types."""
+    from probly_search_ray.stages.sketches import hll_distinct
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    fast = hll_distinct(ds, "event_type", "user_id").to_pandas()
+    # ref side reads through pandas/pyarrow directly — the Ray read
+    # path is part of what the agreement pins
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    ref = {str(k): int(round(_ref_hll_estimate(g.to_list())))
+           for k, g in ev.groupby("event_type")["user_id"]}
+    agree = int(sum(ref.get(str(k)) == int(v)
+                    for k, v in zip(fast["event_type"],
+                                    fast["est_distinct"])))
+    return pd.DataFrame({"n_checked": [len(fast)], "n_agree": [agree]})
+
+
+def _ref_serial_kmeans(sf_dir: str, n_clusters: int, iters: int,
+                       seed: int = 5):
+    """Independent SERIAL reference for the distributed k-means
+    pipeline: one process, one matrix, fresh numpy code.  Reimplements
+    the distributed machinery the check exists to pin — the seeded
+    hash-sample ordering (via ``_ref_mix64``, not pandas), the
+    per-batch partial-sum + scheduling-independent merge (as one
+    whole-matrix sum), and the assignment pass.  The driver-side
+    centroid init (``kmeans_lite``) is shared deliberately: it runs on
+    the driver in BOTH paths, so it is not distributed machinery, and
+    sharing it keeps the comparison exact rather than
+    tolerance-smeared.  Returns (ids, assignment, cosine@6dp)."""
+    from probly_search_ray.stages.similarity import kmeans_lite
+    df = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    ids = df["vec_id"].to_numpy(np.int64)
+    x32 = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    # seeded sample = rows ranked by the integer mix of vec_id
+    # (pandas hash_array ignores hash_key for numeric input, so the
+    # rank is seed-inert; what matters — and what this pins — is that
+    # it is deterministic and layout-invariant)
+    key = np.array([_ref_mix64(int(i)) for i in ids], dtype=np.uint64)
+    sm = x32[np.argsort(key, kind="stable")][:2048]
+    c = kmeans_lite(sm, n_clusters, seed=seed).astype(np.float64)
+    xn = x32.astype(np.float64)
+    xn /= np.maximum(np.linalg.norm(xn, axis=1, keepdims=True), 1e-300)
+    for _ in range(iters):
+        a = np.argmax(xn @ c.T, axis=1)
+        new = c.copy()
+        for j in range(len(c)):
+            if (a == j).any():
+                new[j] = xn[a == j].sum(axis=0)
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True),
+                          1e-300)
+        if np.array_equal(new, c):
+            break
+        c = new
+    sims = xn @ c.T
+    a = np.argmax(sims, axis=1)
+    return ids, a, np.round(sims[np.arange(len(a)), a], 6)
+
+
+def kmeans_check(sf_dir: str):
+    """Cross-implementation check for the distributed k-means pipeline
+    (the machinery behind ``embedding_clusters``): every vector's
+    cluster assignment AND 6dp cosine from the distributed path
+    (hash-sample → per-batch partial sums → ordered driver merge →
+    assignment stage) must equal the serial single-matrix reference
+    above.  The oracle pins n_agree == n_checked == #embeddings."""
+    from probly_search_ray.stages.similarity import kmeans_full
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    _, assign = kmeans_full(ds, n_clusters=8, iters=5)
+    fast = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    ids, a, cos = _ref_serial_kmeans(sf_dir, n_clusters=8, iters=5)
+    ref = {int(i): (int(c), float(s)) for i, c, s in zip(ids, a, cos)}
+    agree = int(sum(ref.get(int(i)) == (int(c), float(s))
+                    for i, c, s in zip(fast["vec_id"], fast["cluster"],
+                                       fast["cosine"])))
+    return pd.DataFrame({"n_checked": [len(fast)], "n_agree": [agree]})
+
+
+def semdedup_check(sf_dir: str):
+    """Cross-implementation check for the SemDedup pipeline: the
+    distributed drop-set (auto-scaled cluster count, assignment
+    shuffle, per-cluster TILED keep-lowest-id prune) must classify
+    every vec_id exactly like the serial reference — serial k-means
+    (above) + a naive one-shot n×n within-cluster prune, fresh code
+    with no tiling.  Pins the groupby machinery, the tiled kernel and
+    the broadcast drop-set filter.  Oracle: n_agree == n_checked."""
+    from probly_search_ray.stages.similarity import (
+        _auto_clusters, semantic_dedup_drop_ids)
+    threshold = 0.4
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    n = ds.count()
+    k = _auto_clusters(n, 8, 1024)
+    drops = set(int(i) for i in
+                semantic_dedup_drop_ids(ds, threshold=threshold))
+    ids, a, _ = _ref_serial_kmeans(sf_dir, n_clusters=k, iters=5)
+    df = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    df = df.set_index("vec_id").loc[ids]
+    xn = np.stack(df["embedding"].to_numpy()).astype(np.float32) \
+        .astype(np.float64)
+    xn /= np.maximum(np.linalg.norm(xn, axis=1, keepdims=True), 1e-300)
+    ref_drop = set()
+    for j in np.unique(a):
+        sel = np.flatnonzero(a == j)
+        sel = sel[np.argsort(ids[sel])]          # ascending id order
+        sims = xn[sel] @ xn[sel].T
+        dup = np.triu(sims >= threshold, k=1).any(axis=0)
+        ref_drop.update(int(i) for i in ids[sel][dup])
+    agree = int(sum((int(i) in drops) == (int(i) in ref_drop)
+                    for i in ids))
+    return pd.DataFrame({"n_checked": [len(ids)], "n_agree": [agree]})
+
+
 def _first_embedding(ds):
     """Embedding row with the min vec_id — Min aggregate + pushdown
     filter, NOT a full sort (``sort().limit(1)`` shuffles everything
@@ -2236,6 +2396,19 @@ ORACLES = {
         SELECT count(*)::BIGINT AS n_checked, count(*)::BIGINT AS n_agree
         FROM documents WHERE doc_id < {_CHECK_N}
     """,
+    "hll_check": """
+        SELECT count(DISTINCT event_type)::BIGINT AS n_checked,
+               count(DISTINCT event_type)::BIGINT AS n_agree
+        FROM events
+    """,
+    "kmeans_check": """
+        SELECT count(*)::BIGINT AS n_checked, count(*)::BIGINT AS n_agree
+        FROM embeddings
+    """,
+    "semdedup_check": """
+        SELECT count(*)::BIGINT AS n_checked, count(*)::BIGINT AS n_agree
+        FROM embeddings
+    """,
     "zero_to_one_multi": f"""
         WITH dl AS (SELECT doc_id, len({_TOK}) AS len FROM documents),
         hits AS (SELECT doc_id, count(DISTINCT t)::DOUBLE AS m FROM
@@ -2735,6 +2908,9 @@ QUERIES = {k: QUERIES[k] for k in
            + [k for k in QUERIES if k not in _PRIORITY_ENTRIES]}
 
 QUERIES["media_check"] = media_check
+QUERIES["hll_check"] = hll_check
+QUERIES["kmeans_check"] = kmeans_check
+QUERIES["semdedup_check"] = semdedup_check
 QUERIES["zero_to_one_search"] = zero_to_one_search  # re-slot below
 
 # ---------------------------------------------------------------------------
@@ -2754,6 +2930,7 @@ _FRONT = [
     "distinct_users_per_type", "hll_distinct_users", "top_terms_sketch",
     "doclen_quantiles", "embedding_clusters", "semantic_dedup",
     "token_estimate", "dup_spans", "index_postings", "media_check",
+    "hll_check", "kmeans_check", "semdedup_check",
     # (b) changed this round
     "zero_to_one_search", "embedding_topk_ivf", "tfidf_top3",
     "unigram_logprob", "top_pmi_bigrams", "embedding_near_dups",

@@ -142,3 +142,34 @@ def test_multimodal_pipeline():
                                   batch_size=16).to_pandas()
     assert (out.sort_values("media_id")["feat_norm"].to_numpy()
             == out2.sort_values("media_id")["feat_norm"].to_numpy()).all()
+
+
+def test_ref_mix64_matches_pandas_hash_array():
+    """The pure-Python mix behind hll_check / kmeans_check must be
+    bit-equal to pandas.util.hash_array on uint64 input (and the
+    hash_key must be inert for numeric arrays — the sample ranking's
+    determinism rests on that)."""
+    import numpy as np
+    import pandas as pd
+    from probly_search_ray.pipelines.queries import _ref_mix64
+    vals = np.array([0, 1, 2, 12345, 2**63 - 1, 2**64 - 1, 987654321],
+                    dtype=np.uint64)
+    want = pd.util.hash_array(vals)
+    assert [int(w) for w in want] == [_ref_mix64(int(v)) for v in vals]
+    assert (pd.util.hash_array(vals, hash_key="9" * 16) == want).all()
+
+
+def test_ref_hll_estimate_matches_stage():
+    """Pure-Python HLL == the vectorized register+estimator path for
+    arbitrary value multisets (duplicates must not move the max)."""
+    import numpy as np
+    from probly_search_ray.pipelines.queries import _ref_hll_estimate
+    from probly_search_ray.stages.sketches import (hll_estimate,
+                                                   hll_registers)
+    rng = np.random.default_rng(17)
+    for n in (1, 100, 5000):
+        vals = rng.integers(0, 10**12, size=n, dtype=np.int64)
+        vals = np.concatenate([vals, vals[: n // 2]])  # duplicates
+        fast = hll_estimate(hll_registers(vals))
+        ref = _ref_hll_estimate(vals.tolist())
+        assert round(fast) == round(ref), (n, fast, ref)
