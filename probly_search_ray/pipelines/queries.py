@@ -1112,6 +1112,52 @@ def semdedup_check(sf_dir: str):
     return pd.DataFrame({"n_checked": [len(ids)], "n_agree": [agree]})
 
 
+def bucketed_pairs_check(sf_dir: str):
+    """Driver-visible exactness check for the bucketed (IVF multi-
+    probe) near-dup path: plant 8 deterministic near-duplicates —
+    copies of the 8 smallest-vec_id embeddings, perturbed by
+    0.01·roll(v, 1) so the pair cosine is ~0.99995 (not a byte-equal
+    clone) — union them with the real corpus and run the REAL
+    ``bucketed_near_dup_pairs`` at τ=0.999.  On this corpus every
+    non-planted pair is ≤ ~0.51, so the output must be EXACTLY the 8
+    planted (orig, copy) pairs: n_agree counts planted pairs found
+    minus any false pairs.  Covers the `embedding_near_dups_bucketed`
+    no-oracle entry (the pytest recall gate, made driver-hashable)."""
+    from probly_search_ray.stages.similarity import (
+        _normalize, _to_matrix, bucketed_near_dup_pairs)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    from ray.data.aggregate import Max
+    max_id = int(ds.aggregate(Max("vec_id"))["max(vec_id)"])
+
+    def pick_seeds(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.less(b["vec_id"], 8))
+
+    seeds = ds.map_batches(pick_seeds, batch_format="pyarrow") \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    m = _normalize(_to_matrix(pa.array(list(seeds["embedding"])))
+                   .astype(np.float64))
+    planted = m + 0.01 * np.roll(m, 1, axis=1)
+    copy_ids = max_id + 1 + np.arange(len(seeds), dtype=np.int64)
+    planted_tbl = pa.table({
+        "vec_id": pa.array(copy_ids),
+        "embedding": pa.array([r.astype(np.float32).tolist()
+                               for r in planted],
+                              type=pa.list_(pa.float32())),
+    }).cast(pa.schema([("vec_id", pa.int64()),
+                       ("embedding", ds.schema().types[1])]))
+    union = ds.union(ray.data.from_arrow(planted_tbl))
+    got = bucketed_near_dup_pairs(union, threshold=0.999,
+                                  n_clusters=8, n_probe=4)
+    found = set(zip(got["a"].astype(np.int64),
+                    got["b"].astype(np.int64)))
+    expected = set(zip(seeds["vec_id"].astype(np.int64), copy_ids))
+    agree = max(0, len(expected & found) - len(found - expected))
+    return pd.DataFrame({"n_checked": [len(expected)],
+                         "n_agree": [agree]})
+
+
 def _first_embedding(ds):
     """Embedding row with the min vec_id — Min aggregate + pushdown
     filter, NOT a full sort (``sort().limit(1)`` shuffles everything
@@ -2409,6 +2455,11 @@ ORACLES = {
         SELECT count(*)::BIGINT AS n_checked, count(*)::BIGINT AS n_agree
         FROM embeddings
     """,
+    "bucketed_pairs_check": """
+        SELECT (count(*) FILTER (WHERE vec_id < 8))::BIGINT AS n_checked,
+               (count(*) FILTER (WHERE vec_id < 8))::BIGINT AS n_agree
+        FROM embeddings
+    """,
     "zero_to_one_multi": f"""
         WITH dl AS (SELECT doc_id, len({_TOK}) AS len FROM documents),
         hits AS (SELECT doc_id, count(DISTINCT t)::DOUBLE AS m FROM
@@ -2911,6 +2962,7 @@ QUERIES["media_check"] = media_check
 QUERIES["hll_check"] = hll_check
 QUERIES["kmeans_check"] = kmeans_check
 QUERIES["semdedup_check"] = semdedup_check
+QUERIES["bucketed_pairs_check"] = bucketed_pairs_check
 QUERIES["zero_to_one_search"] = zero_to_one_search  # re-slot below
 
 # ---------------------------------------------------------------------------
@@ -2930,7 +2982,7 @@ _FRONT = [
     "distinct_users_per_type", "hll_distinct_users", "top_terms_sketch",
     "doclen_quantiles", "embedding_clusters", "semantic_dedup",
     "token_estimate", "dup_spans", "index_postings", "media_check",
-    "hll_check", "kmeans_check", "semdedup_check",
+    "hll_check", "kmeans_check", "semdedup_check", "bucketed_pairs_check",
     # (b) changed this round
     "zero_to_one_search", "embedding_topk_ivf", "tfidf_top3",
     "unigram_logprob", "top_pmi_bigrams", "embedding_near_dups",
