@@ -48,6 +48,22 @@ def _grouped_arange(lengths: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
 
+def _score_ub(tfm, lmn, idf_boosts, fields_boost, avgs, k1, b):
+    """Vectorized per-expansion BM25 score upper bounds: tf_norm is
+    increasing in tf and decreasing in field length, so
+    tf_norm(tf_max, len_min) bounds every posting per field.  Shared by
+    the coordinator (multi-shard pruning) and the shard-local pushed-
+    down top-k loop (``ShardData.score_bm25_topk_pruned``)."""
+    s = np.zeros(len(idf_boosts), dtype=np.float64)
+    for f, bb in enumerate(fields_boost):
+        if bb == 0.0 or avgs[f] <= 0.0:
+            continue
+        tf = tfm[:, f]
+        s += bb * ((k1 + 1.0) * tf) / (
+            k1 * ((1.0 - b) + b * (lmn[:, f] / avgs[f])) + tf)
+    return s * np.asarray(idf_boosts, dtype=np.float64)
+
+
 def _levenshtein_capped(a: bytes, b: bytes, cap: int) -> int:
     """Byte-level edit distance with early exit once every cell of a
     row exceeds ``cap``.  Used only for the rare over-cap dictionary
@@ -593,7 +609,8 @@ class ShardData:
                          keep_nonpositive: bool = False,
                          topk: int | None = None,
                          floor: float = -np.inf,
-                         only_docs: np.ndarray | None = None):
+                         only_docs: np.ndarray | None = None,
+                         term_idx: np.ndarray | None = None):
         """Vectorized BM25 over ALL requested terms' posting lists in one
         pass (``src/score/default/bm25.rs:60-93``): gather the CSR
         slices, concatenate, score the whole concatenation with numpy —
@@ -607,8 +624,11 @@ class ShardData:
         (``src/query.rs:88``, insert outside the ``if let Some``), which
         changes the ``max_score_merger`` outcome for later expansions
         when ``fields_boost`` contains zeros."""
-        idx = np.fromiter((self._term_index(t) for t in terms),
-                          dtype=np.int64, count=len(terms))
+        if term_idx is not None:
+            idx = term_idx
+        else:
+            idx = np.fromiter((self._term_index(t) for t in terms),
+                              dtype=np.int64, count=len(terms))
         present = np.flatnonzero(idx >= 0)
         if not len(present):
             return (np.empty(0, np.int64), np.empty(0, np.uint64),
@@ -666,6 +686,72 @@ class ShardData:
                 d_u, s_u = d_u[m], s_u[m]
             return np.zeros(len(d_u), np.int64), d_u, s_u
         return ranks, docs, s
+
+    def score_bm25_topk_pruned(self, terms: list[str], idf_boosts,
+                               fields_boost, avgs, k1: float, b: float,
+                               tomb: np.ndarray, k: int,
+                               prefix: str | None = None):
+        """Single-term exact top-k with impact-bound pruning, run
+        ENTIRELY shard-local — the coordinator's adaptive chunk loop
+        (see ``SearchEngine._query_bm25``) pays one actor RPC round per
+        chunk (64, 128, 256, ... expansions), which dominates warm
+        latency for hot/prefix terms whose bounds never prune (5+
+        sequential round-trips).  When term-range routing resolves the
+        term's whole expansion block to ONE shard, that loop moves
+        here: same bounds, same descending-upper-bound order, same
+        tie-safe kth cutoff, same per-doc max-merge — byte-identical
+        accumulator, one round-trip.  Returns ``(docs, scores)``.
+
+        ``prefix``: when set (the non-fuzzy expand path), the terms are
+        a permutation of the dictionary's contiguous ``[prefix, succ)``
+        block, so ALL indices resolve with one range scan instead of a
+        bisect per expansion (2.5k bisects ≈ 2 ms on a hot prefix)."""
+        idf = np.asarray(idf_boosts, dtype=np.float64)
+        if prefix is not None:
+            i0 = bisect.bisect_left(self.terms, prefix)
+            i1 = i0
+            nt = len(self.terms)
+            while i1 < nt and self.terms[i1].startswith(prefix):
+                i1 += 1
+            pos = {t: i for i, t in enumerate(self.terms[i0:i1],
+                                              start=i0)}
+            idx_all = np.fromiter((pos.get(t, -1) for t in terms),
+                                  dtype=np.int64, count=len(terms))
+        else:
+            idx_all = np.fromiter((self._term_index(t) for t in terms),
+                                  dtype=np.int64, count=len(terms))
+        _, tfm, lmn = self.bounds_arrays(terms, term_idx=idx_all)
+        ub_each = _score_ub(tfm, lmn, idf, fields_boost, avgs, k1, b)
+        order_ub = np.argsort(-ub_each, kind="stable")
+        g_docs = np.empty(0, dtype=np.uint64)
+        g_scores = np.empty(0, dtype=np.float64)
+        chunk_n = 64
+        pos = 0
+        while pos < len(order_ub):
+            if len(g_scores) >= k:
+                kth = np.partition(g_scores, len(g_scores) - k)[
+                    len(g_scores) - k]
+            else:
+                kth = -np.inf
+            cand = order_ub[pos:pos + chunk_n]
+            sel = cand[ub_each[cand] > kth]
+            if not len(sel):
+                break
+            _, d, s = self.score_bm25_batch(
+                [terms[i] for i in sel], idf[sel], fields_boost, avgs,
+                k1, b, tomb, False, k, float(kth),
+                term_idx=idx_all[sel])
+            if len(d):
+                o = np.argsort(d, kind="stable")
+                d_s, s_s = d[o], s[o]
+                st = np.flatnonzero(np.concatenate(
+                    ([True], d_s[1:] != d_s[:-1])))
+                g_docs, g_scores = _merge_max(
+                    g_docs, g_scores, d_s[st],
+                    np.maximum.reduceat(s_s, st))
+            pos += chunk_n
+            chunk_n *= 2
+        return g_docs, g_scores
 
     def score_bm25_reduced(self, terms: list[str], idf_boosts,
                            fields_boost, avgs, k1: float, b: float,
@@ -725,13 +811,17 @@ class ShardData:
             out[j] = acc
         return out
 
-    def bounds_arrays(self, terms: list[str]):
+    def bounds_arrays(self, terms: list[str],
+                      term_idx: np.ndarray | None = None):
         """Per-term impact-bound inputs as ARRAYS: (present bool[n],
         tf_max (n,F), len_min (n,F)) — the coordinator turns these into
         BM25 score upper bounds for top-k pruning.  Absent terms carry
         zeros (present=False)."""
-        idx = np.fromiter((self._term_index(t) for t in terms),
-                          dtype=np.int64, count=len(terms))
+        if term_idx is not None:
+            idx = term_idx
+        else:
+            idx = np.fromiter((self._term_index(t) for t in terms),
+                              dtype=np.int64, count=len(terms))
         present = idx >= 0
         ic = np.maximum(idx, 0)
         F = self.num_fields
@@ -1672,17 +1762,8 @@ class SearchEngine:
 
     @staticmethod
     def _score_ub_vec(tfm, lmn, idf_boosts, fields_boost, avgs, k1, b):
-        """Vectorized per-expansion BM25 score upper bounds: tf_norm is
-        increasing in tf and decreasing in field length, so
-        tf_norm(tf_max, len_min) bounds every posting per field."""
-        s = np.zeros(len(idf_boosts), dtype=np.float64)
-        for f, bb in enumerate(fields_boost):
-            if bb == 0.0 or avgs[f] <= 0.0:
-                continue
-            tf = tfm[:, f]
-            s += bb * ((k1 + 1.0) * tf) / (
-                k1 * ((1.0 - b) + b * (lmn[:, f] / avgs[f])) + tf)
-        return s * idf_boosts
+        """See module-level ``_score_ub`` (kept as a method alias)."""
+        return _score_ub(tfm, lmn, idf_boosts, fields_boost, avgs, k1, b)
 
     def _query_bm25(self, query_terms, fields_boost, n_docs, avgs, k1, b,
                     expand, k=None, restrict_docs=None, fuzzy=0):
@@ -1695,19 +1776,23 @@ class SearchEngine:
             ordered, df_map = self._expansions_for(term, expand, fuzzy)
             if not ordered:
                 continue
-            idf_boosts = []
-            for e in ordered:
-                df = df_map[e]
-                freq = min(n_docs, df)
-                diff = n_docs - freq
-                idf = math.log(1.0 + (diff + 0.5) / (freq + 0.5))
-                if e == term:
-                    boost = 1.0
-                else:
-                    boost = math.log(1.0 + 1.0 / (
-                        1.0 + abs(len(e.encode()) - len(term.encode()))))
-                idf_boosts.append(idf * boost)
-            term_infos.append((term, ordered, np.asarray(idf_boosts)))
+            # vectorized idf × byte-length expansion boost (bit-identical
+            # to the scalar formulas: same float64 op order, np.log is
+            # the same libm log as math.log) — the scalar loop was ~3 ms
+            # per hot prefix term (2.5k expansions × log+encode+min)
+            n = len(ordered)
+            dfs = np.fromiter((df_map[e] for e in ordered),
+                              dtype=np.float64, count=n)
+            freq = np.minimum(float(n_docs), dfs)
+            idf = np.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))
+            tb = len(term.encode())
+            bl = np.fromiter((len(e.encode()) for e in ordered),
+                             dtype=np.float64, count=n)
+            boost = np.log(1.0 + 1.0 / (1.0 + np.abs(bl - tb)))
+            exact = np.fromiter((e == term for e in ordered),
+                                dtype=bool, count=n)
+            boost[exact] = 1.0
+            term_infos.append((term, ordered, idf * boost))
         # Exact top-k pruning is valid only when ONE query term
         # contributes postings: the merge is then a pure per-doc max
         # over expansions (prev is always None, so expansion order
@@ -1729,6 +1814,19 @@ class SearchEngine:
         only_docs = restrict_docs
         for ti, (term, ordered, idf_boosts) in enumerate(term_infos):
             if prune:
+                routed = self.shards if fuzzy else self._route(term)
+                if len(routed) == 1:
+                    # the whole expansion block lives on one shard: run
+                    # the identical prune loop THERE — one RPC round
+                    # instead of one per adaptive chunk (the dominant
+                    # warm-latency cost for hot/prefix single-term
+                    # queries whose bounds never prune)
+                    g_docs, g_scores = self._call_one(
+                        routed[0], "score_bm25_topk_pruned", ordered,
+                        idf_boosts, fields_boost, avgs, k1, b,
+                        self.tomb, k,
+                        term if expand and not fuzzy else None)
+                    break
                 # process expansions in descending score upper bound;
                 # stop when the bound can no longer enter the top-k
                 tfm, lmn = self._bounds_for(term, expand, ordered, fuzzy)

@@ -320,6 +320,35 @@ def test_topk_pruning_exact(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_topk_pushdown_vs_fanout(tmp_path):
+    """Single-term top-k via the shard-local pushed-down prune loop
+    (one RPC when term-range routing resolves to one shard) must equal
+    the coordinator's chunked fan-out loop — forced by disabling
+    routing, which is a traffic optimization, never a semantics
+    change.  Also exercises the contiguous prefix-range index mapping
+    against the per-term bisect fallback (exact-term mode)."""
+    import types
+    rng = np.random.default_rng(23)
+    vocab = np.array([p + s for p in ["ba", "be", "bo", "ga"]
+                      for s in ["", "x", "xy", "r", "rq", "zz"]])
+    corpus = _rand_corpus(rng, 150, 1, vocab, max_len=12)
+    eng = build_engine(tmp_path, corpus, num_shards=4)
+    queries = ["b", "ba", "bo", "g", "gax", "be", "bezz"]
+    pushed = [eng.query(q, "bm25", k=4) for q in queries]
+    exact = [eng.query(q, "bm25", k=4, expand=False) for q in queries]
+    orig = eng._route
+    eng._route = types.MethodType(lambda self, t: self.shards, eng)
+    fanned = [eng.query(q, "bm25", k=4) for q in queries]
+    fanned_exact = [eng.query(q, "bm25", k=4, expand=False)
+                    for q in queries]
+    eng._route = orig
+    for q, a, b in zip(queries, pushed, fanned):
+        assert_results(a, b, f"pushdown:{q!r}")
+    for q, a, b in zip(queries, exact, fanned_exact):
+        assert_results(a, b, f"pushdown-exact:{q!r}")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_topk_taat_restriction_exact(tmp_path):
     """Multi-term top-k where the TAAT suffix restriction FIRES (first
     term's accumulator kth exceeds the remaining terms' impact bounds):
