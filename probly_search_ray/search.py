@@ -1798,10 +1798,27 @@ class SearchEngine:
         # over expansions (prev is always None, so expansion order
         # cannot affect scores).
         prune = k is not None and len(term_infos) == 1
+        # short multi-term queries: dispatch every term's reduced-
+        # scoring RPC CONCURRENTLY — the sequential per-term round-trips
+        # dominate warm latency at 2-3 terms, while the TAAT suffix
+        # restriction they enable (a shard-traffic optimization that
+        # never changes scores) rarely fires that early; the merge below
+        # still consumes results in term order, so the ranking is
+        # byte-identical.  Longer queries keep the sequential loop: with
+        # many terms the restriction's traffic savings compound.
+        concurrent_refs = None
+        if self.use_actors and len(term_infos) in (2, 3):
+            concurrent_refs = []
+            for term, ordered, idf_boosts in term_infos:
+                shards = self.shards if fuzzy else self._route(term)
+                concurrent_refs.append(
+                    [s.score_bm25_reduced.remote(
+                        ordered, idf_boosts, fields_boost, avgs, k1, b,
+                        self.tomb, restrict_docs) for s in shards])
         # per-term score upper bounds for the multi-term TAAT suffix
         # restriction (bounds fetched lazily — only top-k queries pay)
         term_ubs = None
-        if k is not None and len(term_infos) > 1:
+        if k is not None and len(term_infos) > 1 and concurrent_refs is None:
             term_ubs = []
             for term, ordered, idf_boosts in term_infos:
                 tfm, lmn = self._bounds_for(term, expand, ordered, fuzzy)
@@ -1887,9 +1904,13 @@ class SearchEngine:
             # with expansion multiplicity.  Docs whose score would be
             # None in the reference are still *visited* (src/query.rs:88)
             # — f carries the raw first-record score, sign and all.
-            per_shard = self._term_call(term, fuzzy, "score_bm25_reduced",
-                                        ordered, idf_boosts, fields_boost,
-                                        avgs, k1, b, self.tomb, only_docs)
+            if concurrent_refs is not None:
+                per_shard = self._ray.get(concurrent_refs[ti])
+            else:
+                per_shard = self._term_call(
+                    term, fuzzy, "score_bm25_reduced", ordered,
+                    idf_boosts, fields_boost, avgs, k1, b, self.tomb,
+                    only_docs)
             per_shard = [t for t in per_shard if len(t[0])]
             if not per_shard:
                 continue
