@@ -1832,6 +1832,7 @@ class SearchEngine:
         for ti, (term, ordered, idf_boosts) in enumerate(term_infos):
             if prune:
                 routed = self.shards if fuzzy else self._route(term)
+                pfx = term if expand and not fuzzy else None
                 if len(routed) == 1:
                     # the whole expansion block lives on one shard: run
                     # the identical prune loop THERE — one RPC round
@@ -1841,8 +1842,30 @@ class SearchEngine:
                     g_docs, g_scores = self._call_one(
                         routed[0], "score_bm25_topk_pruned", ordered,
                         idf_boosts, fields_boost, avgs, k1, b,
-                        self.tomb, k,
-                        term if expand and not fuzzy else None)
+                        self.tomb, k, pfx)
+                    break
+                if self.doc_shards:
+                    # doc-sharded pool: every doc's postings live on
+                    # exactly ONE shard, so each shard's LOCAL pruned
+                    # top-k (ties kept) provably contains every
+                    # globally-top-k doc it owns — run the loop on all
+                    # shards in ONE concurrent round and union, instead
+                    # of fanning each adaptive chunk to the whole pool
+                    if self.use_actors:
+                        parts = self._ray.get(
+                            [s.score_bm25_topk_pruned.remote(
+                                ordered, idf_boosts, fields_boost, avgs,
+                                k1, b, self.tomb, k, pfx)
+                             for s in self.shards])
+                    else:
+                        parts = [s.score_bm25_topk_pruned(
+                            ordered, idf_boosts, fields_boost, avgs,
+                            k1, b, self.tomb, k, pfx)
+                            for s in self.shards]
+                    d_all = np.concatenate([p[0] for p in parts])
+                    s_all = np.concatenate([p[1] for p in parts])
+                    o = np.argsort(d_all, kind="stable")
+                    g_docs, g_scores = d_all[o], s_all[o]
                     break
                 # process expansions in descending score upper bound;
                 # stop when the bound can no longer enter the top-k

@@ -346,6 +346,16 @@ def test_topk_pushdown_vs_fanout(tmp_path):
         assert_results(a, b, f"pushdown:{q!r}")
     for q, a, b in zip(queries, exact, fanned_exact):
         assert_results(a, b, f"pushdown-exact:{q!r}")
+    # doc-sharded pool: the per-shard local prune union (one concurrent
+    # round; sound because doc sets are disjoint) must also match
+    dse = SearchEngine(eng.index_dir, doc_shards=3)
+    ds_new = [dse.query(q, "bm25", k=4) for q in queries]
+    dse.doc_shards = 0          # falls back to the chunked fan-out loop
+    ds_old = [dse.query(q, "bm25", k=4) for q in queries]
+    for q, a, b in zip(queries, ds_new, ds_old):
+        assert_results(a, b, f"pushdown-docsharded:{q!r}")
+    for q, a, b in zip(queries, ds_new, pushed):
+        assert_results(a, b, f"docsharded-vs-termsharded:{q!r}")
 
 
 @pytest.mark.usefixtures("ray_session")
