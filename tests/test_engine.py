@@ -136,7 +136,32 @@ def test_differential_random(tmp_path, seed, nfields):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_zero_boost_visited_semantics(tmp_path):
+@pytest.mark.parametrize("seed", [101, 202])
+def test_differential_layouts_random(tmp_path, seed):
+    """DIFF-2: random corpora; every serving LAYOUT (single shard,
+    term-sharded pool, doc-sharded pool) must produce the same top-k
+    ranking as the refmodel — pins the layout-specific query paths
+    (term-range routing, shard-local prune pushdown, doc-sharded local
+    prune union, concurrent 2-3-term dispatch) against each other and
+    the reference on inputs none of them were tuned on."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([p + s for p in ["ka", "ke", "ko", "mu", "ma"]
+                      for s in ["", "r", "rr", "x", "xy", "z"]])
+    corpus = _rand_corpus(rng, 90, 1, vocab, max_len=9)
+    e1 = build_engine(tmp_path, corpus)
+    e4 = SearchEngine(e1.index_dir, num_shards=4)
+    ed = SearchEngine(e1.index_dir, doc_shards=3)
+    ref = RefIndex(1)
+    for d in sorted(corpus):
+        ref.add_document(list(corpus[d]), tok, d)
+    queries = ["k", "ka", "kerr", "m", "mu k", "ma ko", "kax muz ke",
+               "q", "kar ka"]
+    for q in queries:
+        exp = ref.query(q, BM25(), tok, [1.0])
+        for e, tag in ((e1, "one"), (e4, "term4"), (ed, "doc3")):
+            assert_results(e.query(q, "bm25"), exp, f"{tag}:full:{q!r}")
+            got_k = e.query(q, "bm25", k=4)
+            assert_results(got_k, exp[:len(got_k)], f"{tag}:k4:{q!r}")
     """A 0 in fields_boost makes some expansions score None; the
     reference still marks those docs *visited* for the term
     (``src/query.rs:88`` — insert outside the ``if let Some``), which
