@@ -263,11 +263,15 @@ def scaling_measurement() -> dict:
         _leg(8)
         _leg(32)
         rescue += 1
-    t8 = min(r["value"] for r in runs[8])
-    t32 = min(r["value"] for r in runs[32])
+    # pair each leg's cpu_sec with THE run that achieved its min wall —
+    # mixing the min cpu of one run with the min wall of another would
+    # misstate the contention-vs-compute diagnosis
+    best8 = min(runs[8], key=lambda r: r["value"])
+    best32 = min(runs[32], key=lambda r: r["value"])
+    t8, t32 = best8["value"], best32["value"]
     eff = (t8 / t32) / 4.0
-    cpu8 = min((r["build"].get("cpu_sec") or 0) for r in runs[8])
-    cpu32 = min((r["build"].get("cpu_sec") or 0) for r in runs[32])
+    cpu8 = best8["build"].get("cpu_sec") or 0
+    cpu32 = best32["build"].get("cpu_sec") or 0
     out = {
         "metric": "scaling efficiency, same build at num_cpus=8 vs 32 "
                   "(sandbox proxy for N -> 4N nodes)",

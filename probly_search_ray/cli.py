@@ -167,10 +167,16 @@ def cmd_pipeline(args):
         print(json.dumps({"pipeline": args.name, "out": args.out,
                           "files": len(files)}))
     else:
-        df = res.to_pandas() if not hasattr(res, "head") or \
-            isinstance(res, rd.Dataset) else res
+        if isinstance(res, rd.Dataset):
+            # never materialize the full Dataset on the driver just to
+            # print a summary — count() streams, limit() bounds the pull
+            rows = int(res.count())
+            df = res.limit(args.head).to_pandas()
+        else:
+            df = res.to_pandas() if not hasattr(res, "head") else res
+            rows = int(len(df))
         print(json.dumps({
-            "pipeline": args.name, "rows": int(len(df)),
+            "pipeline": args.name, "rows": rows,
             "columns": list(map(str, df.columns)),
             "head": json.loads(df.head(args.head).to_json(
                 orient="records", date_format="iso"))}))

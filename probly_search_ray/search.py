@@ -268,13 +268,28 @@ class ShardData:
             return
         i, D = self._doc_mod
         docs = np.asarray(self.p_docs)
-        m = (docs % np.uint64(D)) == np.uint64(i)
-        kept = np.zeros(len(docs) + 1, dtype=np.int64)
-        np.cumsum(m, out=kept[1:])
-        self.post_off = kept[np.asarray(self.post_off)]
-        self.p_docs = docs[m]
-        self.p_tf = [np.asarray(t)[m] for t in self.p_tf]
-        self.p_len = [np.asarray(li)[m] for li in self.p_len]
+        # Chunked selection: the old one-shot pass allocated ~2 full-
+        # size temporaries (the % result and an (n+1) int64 cumsum) in
+        # FRESH anonymous pages — on this host page-zeroing dominates
+        # and made doc-shard pool start ~6x the term-sharded one.
+        # Chunk-sized temporaries are REUSED from the tuned arena, and
+        # the kept-index array is output-sized (n/D), so fresh pages
+        # shrink to just the 1/D-sized copies this view actually keeps.
+        CH = 1 << 22
+        parts = []
+        for a in range(0, len(docs), CH):
+            sel = np.flatnonzero(
+                docs[a:a + CH] % np.uint64(D) == np.uint64(i))
+            parts.append((a + sel).astype(np.int64))
+        idx = (np.concatenate(parts) if parts
+               else np.empty(0, np.int64))
+        # kept-count strictly before each term boundary == position of
+        # the boundary in the sorted kept-index list
+        self.post_off = np.searchsorted(
+            idx, np.asarray(self.post_off)).astype(np.int64)
+        self.p_docs = docs[idx]
+        self.p_tf = [np.asarray(t)[idx] for t in self.p_tf]
+        self.p_len = [np.asarray(li)[idx] for li in self.p_len]
 
     # rows per decode chunk: bounds the varint-scan temporaries (which
     # the tuned allocator then REUSES across chunks) — an unchunked scan

@@ -162,6 +162,10 @@ def test_differential_layouts_random(tmp_path, seed):
             assert_results(e.query(q, "bm25"), exp, f"{tag}:full:{q!r}")
             got_k = e.query(q, "bm25", k=4)
             assert_results(got_k, exp[:len(got_k)], f"{tag}:k4:{q!r}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zero_boost_visited_semantics(tmp_path):
     """A 0 in fields_boost makes some expansions score None; the
     reference still marks those docs *visited* for the term
     (``src/query.rs:88`` — insert outside the ``if let Some``), which
