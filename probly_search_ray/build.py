@@ -41,6 +41,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from probly_search_ray.sources.readers import read_parquet_clean
 from probly_search_ray.stages.segment import SegmentEncoder, read_docmeta_ipc
 from probly_search_ray.state.manifest import Manifest, Stats, Tombstones
 
@@ -232,9 +233,9 @@ def build_index(
         if string_key:
             # (key, doc_id) sidecar for this group — same resume unit
             from probly_search_ray.state.keymap import write_keymap
-            write_keymap(ray.data.read_parquet(gfiles, columns=[user_key]),
+            write_keymap(read_parquet_clean(gfiles, columns=[user_key]),
                          user_key, index_dir, group=gid)
-        ds = ray.data.read_parquet(
+        ds = read_parquet_clean(
             gfiles,
             columns=read_cols or (
                 ([user_key] if string_key else [key_col]) + field_cols))

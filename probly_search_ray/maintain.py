@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from probly_search_ray.sources.readers import read_parquet_clean
 from probly_search_ray.search import _grouped_arange
 from probly_search_ray.stages.segment import SEGMENT_SCHEMA, docmeta_ipc, read_docmeta_ipc
 from probly_search_ray.state.manifest import Manifest, Stats, Tombstones
@@ -264,7 +265,7 @@ def compact_groups(index_dir: str) -> int:
     # prune to the segment columns: reading files under terms/group=G/
     # hive-infers a `group` partition column, which would otherwise be
     # WRITTEN into the compacted files (stale values, wasted bytes)
-    ds = ray.data.read_parquet(sorted(all_files)) \
+    ds = read_parquet_clean(sorted(all_files)) \
         .select_columns(SEGMENT_SCHEMA.names)
     nparts = max(16, 2 * int(__import__("ray").available_resources()
                              .get("CPU", 8)))
@@ -356,7 +357,7 @@ def vacuum(index_dir: str) -> None:
         for d in (tmp_dir, new_dir):
             if os.path.exists(d):
                 shutil.rmtree(d)
-        ds = ray.data.read_parquet(cur_files)
+        ds = read_parquet_clean(cur_files)
         # one vacuum pass is order-preserving per block; re-sort to keep
         # the term-sorted invariant across output files
         out = ds.map_batches(_Compactor(tomb_arr, nf),
@@ -511,7 +512,7 @@ def merge_indexes(source_dirs, dest_dir: str, compact: bool = False,
 
         # vectorized filter: the aggregate is one row PER DOC — a
         # Python row filter here would walk the whole corpus
-        dup = ray.data.read_parquet(meta_files, columns=["doc_id"]) \
+        dup = read_parquet_clean(meta_files, columns=["doc_id"]) \
             .groupby("doc_id").aggregate(Count(alias_name="n")) \
             .map_batches(_dups_only, batch_format="pyarrow").take(1)
         if dup:

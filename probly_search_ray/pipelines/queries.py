@@ -23,6 +23,7 @@ import pyarrow as pa
 
 import ray.data
 
+from probly_search_ray.sources.readers import read_parquet_clean
 from probly_search_ray.build import build_index
 from probly_search_ray.functions.sizing import auto_pool
 from probly_search_ray.search import SearchEngine
@@ -39,7 +40,7 @@ _ENGINE_CACHE: dict[str, SearchEngine] = {}
 
 
 def _docs(sf_dir: str, columns=None):
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
@@ -524,7 +525,7 @@ def index_postings(sf_dir: str):
             "field_len": pa.array(lens[0].astype(np.int64)),
         })
 
-    ds = ray.data.read_parquet(files, columns=["term", "blob"])
+    ds = read_parquet_clean(files, columns=["term", "blob"])
     return ds.map_batches(decode, batch_format="pyarrow")
 
 
@@ -534,9 +535,9 @@ def events_asof_orders(sf_dir: str):
     o_orderkey — deterministic).  One hash-partitioned shuffle +
     per-bucket vectorized forward-fill; see ``stages/joins.py``."""
     from probly_search_ray.stages.joins import asof_join
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "ts", "user_id"])
-    od = ray.data.read_parquet(
+    od = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
     return asof_join(
@@ -551,9 +552,9 @@ def events_window_orders(sf_dir: str):
     user's orders in the trailing 30 days (inclusive).  Sweep-line
     kernel over one hash shuffle; see ``stages/joins.py``."""
     from probly_search_ray.stages.joins import range_join_agg
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "ts", "user_id"])
-    od = ray.data.read_parquet(
+    od = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderdate", "o_totalprice"])
     return range_join_agg(
@@ -567,7 +568,7 @@ def distinct_users_per_type(sf_dir: str):
     """Exact distinct users per event type: per-batch vectorized pair
     dedup (combiner) → tiny groupby → per-group nunique.  Companion
     exact baseline for the HLL sketch entry."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "user_id"])
 
     def dedup(b: pa.Table) -> pa.Table:
@@ -597,7 +598,7 @@ def hll_distinct_users(sf_dir: str):
     against the exact companion and a block-layout-invariance test
     (the hash and max-merge are deterministic)."""
     from probly_search_ray.stages.sketches import hll_distinct
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "user_id"])
     return hll_distinct(ds, "event_type", "user_id")
 
@@ -635,7 +636,7 @@ def embedding_clusters(sf_dir: str):
     rows are all that reach the driver.  No SQL oracle (iterative);
     pinned by the numpy-differential + layout-invariance pytest."""
     from probly_search_ray.stages.similarity import kmeans_cluster_stats
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"])
     return kmeans_cluster_stats(ds, n_clusters=8, iters=5)
@@ -686,7 +687,7 @@ def semantic_dedup(sf_dir: str):
     import ray as _ray
     from probly_search_ray.stages.dedup import _in_sorted
     from probly_search_ray.stages.similarity import semantic_dedup_drop_ids
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"])
     drop_ref = _ray.put(semantic_dedup_drop_ids(ds, threshold=0.4))
@@ -999,7 +1000,7 @@ def hll_check(sf_dir: str):
     orders of magnitude below the rounding grain).  The oracle pins
     n_agree == n_checked == #event types."""
     from probly_search_ray.stages.sketches import hll_distinct
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "user_id"])
     fast = hll_distinct(ds, "event_type", "user_id").to_pandas()
     # ref side reads through pandas/pyarrow directly — the Ray read
@@ -1070,7 +1071,7 @@ def kmeans_check(sf_dir: str):
     assignment stage) must equal the serial single-matrix reference
     above.  The oracle pins n_agree == n_checked == #embeddings."""
     from probly_search_ray.stages.similarity import kmeans_full
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     _, assign = kmeans_full(ds, n_clusters=8, iters=5)
     fast = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
@@ -1102,7 +1103,7 @@ def semdedup_check(sf_dir: str):
     from probly_search_ray.stages.similarity import (
         _auto_clusters, semantic_dedup_drop_ids)
     threshold = 0.4
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     n = ds.count()
     k = _auto_clusters(n, 8, 1024)
@@ -1141,7 +1142,7 @@ def bucketed_pairs_check(sf_dir: str):
     from probly_search_ray.stages.similarity import (
         _normalize, _to_matrix, bucketed_near_dup_pairs)
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     from ray.data.aggregate import Max
     max_id = int(ds.aggregate(Max("vec_id"))["max(vec_id)"])
 
@@ -1191,7 +1192,7 @@ def _first_embedding(ds):
 def embedding_topk(sf_dir: str):
     """Cosine top-10 vs the embedding of the smallest vec_id."""
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = ray.data.read_parquet(path)
+    ds = read_parquet_clean(path)
     q = _first_embedding(ds)
     df = brute_topk(ds, q, k=10)
     out = df[df["query_idx"] == 0][["vec_id", "cosine"]].reset_index(drop=True)
@@ -1209,7 +1210,7 @@ def embedding_topk_ivf(sf_dir: str):
     approximate and is recall-gated by ``test_ivf_topk_recall``."""
     from probly_search_ray.stages.similarity import ivf_topk
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = ray.data.read_parquet(path)
+    ds = read_parquet_clean(path)
     q = _first_embedding(ds)
     df = ivf_topk(ds, q, k=10, n_clusters=16, nprobe=14)
     return df[df["query_idx"] == 0][["vec_id", "cosine"]].reset_index(drop=True)
@@ -1231,7 +1232,7 @@ def embedding_near_dups(sf_dir: str):
     path for real near-dup thresholds is ``bucketed_near_dup_pairs``,
     whose exact-oracle entry is ``embedding_near_dups_highthr``."""
     from probly_search_ray.stages.similarity import embedding_near_dup_pairs
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     # 5dp: duckdb's float32-accumulated cosine and numpy's float64 one
     # disagree by ~2e-7 — enough to flip a 6th decimal at .5 boundaries
     return embedding_near_dup_pairs(ds, threshold=NEAR_DUP_TAU, round_dp=5)
@@ -1241,7 +1242,7 @@ def embedding_near_dups_bucketed(sf_dir: str):
     """Scale path: multi-probe IVF-bucketed near-dup pairs (approximate
     — rows-only check; recall gated by the planted-dup pytest)."""
     from probly_search_ray.stages.similarity import bucketed_near_dup_pairs
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     return bucketed_near_dup_pairs(ds, threshold=NEAR_DUP_TAU,
                                    n_clusters=8, n_probe=4)
 
@@ -1265,7 +1266,7 @@ def embedding_near_dups_highthr(sf_dir: str):
     demotes the O(n²) exact entry to small-sf verification."""
     from probly_search_ray.stages.similarity import bucketed_near_dup_pairs
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     from ray.data.aggregate import Max
     max_id = int(ds.aggregate(Max("vec_id"))["max(vec_id)"])
 
@@ -1477,7 +1478,7 @@ def events_sliding(sf_dir: str):
             "sum_part": pa.array(sum_part.astype(np.float64)),
         })
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
         columns=["ts", "event_type", "value"])
     # stays a streaming Dataset: the window table is #types × #windows
@@ -1658,7 +1659,7 @@ def props_k_stats(sf_dir: str):
         k = pc.cast(pc.struct_field(m, "k"), pa.float64())
         return pa.table({"event_type": b["event_type"], "k": k})
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "props"])
     agg = ds.map_batches(extract, batch_format="pyarrow") \
         .groupby("event_type") \
@@ -1749,7 +1750,7 @@ def events_hourly(sf_dir: str):
             "sum_part": pa.array(np.add.reduceat(v_s, st)),
         })
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
         columns=["ts", "event_type", "value"])
     return ds.map_batches(partial, batch_format="pyarrow") \
@@ -1761,7 +1762,7 @@ def sessions(sf_dir: str):
     """Gap-based sessionization (30 min) of the events log — the
     sort + vectorized-segments path (no per-user Python)."""
     from probly_search_ray.stages.sessions import sessionize_sorted
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "ts", "value"])
     return sessionize_sorted(ds, gap_minutes=30)
 
@@ -3073,7 +3074,7 @@ _FRONT = [
     "token_estimate", "dup_spans", "index_postings", "media_check",
     "hll_check", "kmeans_check", "semdedup_check", "bucketed_pairs_check",
     # (b) changed this round
-    "embedding_near_dups_highthr",
+    "embedding_near_dups_highthr", "embedding_topk", "props_k_stats",
     "zero_to_one_search", "embedding_topk_ivf", "tfidf_top3",
     "unigram_logprob", "top_pmi_bigrams", "embedding_near_dups",
     "embedding_near_dups_bucketed", "bm25_doc_sharded",

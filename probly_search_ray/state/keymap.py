@@ -82,6 +82,8 @@ def check_collisions(index_dir: str, key_col: str) -> pd.DataFrame:
     import ray.data
     from ray.data.aggregate import Max, Min
 
+    from probly_search_ray.sources.readers import read_parquet_clean
+
     files = _files(index_dir)
     empty = pd.DataFrame({key_col: pd.Series(dtype=object),
                           "doc_id": pd.Series(dtype=np.uint64)})
@@ -95,7 +97,7 @@ def check_collisions(index_dir: str, key_col: str) -> pd.DataFrame:
         return pa.table({"doc_id": b["doc_id"],
                          "h2": pa.array(h2.view(np.int64))})
 
-    agg = ray.data.read_parquet(files) \
+    agg = read_parquet_clean(files) \
         .map_batches(add_h2, batch_format="pyarrow") \
         .groupby("doc_id") \
         .aggregate(Min("h2", alias_name="h2_min"),
