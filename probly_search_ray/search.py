@@ -1815,14 +1815,18 @@ class SearchEngine:
         prune = k is not None and len(term_infos) == 1
         # short multi-term queries: dispatch every term's reduced-
         # scoring RPC CONCURRENTLY — the sequential per-term round-trips
-        # dominate warm latency at 2-3 terms, while the TAAT suffix
-        # restriction they enable (a shard-traffic optimization that
-        # never changes scores) rarely fires that early; the merge below
+        # dominate warm latency, while the TAAT suffix restriction they
+        # enable (a shard-traffic optimization that never changes
+        # scores: docs outside the accumulator provably cannot enter
+        # the top-k, so scoring them anyway is rank-identical) rarely
+        # fires this early — measured 1 restricted call in 240 over
+        # 4-6-term queries on the 600k bench index.  The merge below
         # still consumes results in term order, so the ranking is
-        # byte-identical.  Longer queries keep the sequential loop: with
-        # many terms the restriction's traffic savings compound.
+        # byte-identical.  7+-term queries keep the sequential loop:
+        # the restriction's traffic savings compound with term count
+        # and the remaining-UB sum shrinks as terms are consumed.
         concurrent_refs = None
-        if self.use_actors and len(term_infos) in (2, 3):
+        if self.use_actors and 2 <= len(term_infos) <= 6:
             concurrent_refs = []
             for term, ordered, idf_boosts in term_infos:
                 shards = self.shards if fuzzy else self._route(term)
