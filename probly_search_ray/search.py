@@ -48,6 +48,58 @@ def _grouped_arange(lengths: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
 
+def _frontier_channels(F: int):
+    """(support_mask, field) channels for the tight per-term bound.
+    A posting's score is Σ_f w_f·tf_norm_f, and postings with DISJOINT
+    field support can't be combined — yet the naive bound sums each
+    field's max over ALL postings, overshooting ~2x on corpora where a
+    term sits in the title of one doc and the body of another.  So for
+    F ≤ 2 the frontier is computed per support CLASS (mask of fields
+    with tf > 0): the bound for class m sums only f ∈ m, and the
+    per-term bound is the max over classes — exact for single-field
+    postings, loose only within the (rare) both-fields class.  For
+    F ≥ 3 the class count would grow 2^F; mask 0 = "all postings"
+    keeps the valid one-class-per-field bound."""
+    if F <= 2:
+        return [(m, f) for m in range(1, 1 << F)
+                for f in range(F) if (m >> f) & 1]
+    return [(0, f) for f in range(F)]
+
+
+def _pareto_filter(tid, tf, ln, nt):
+    """Per-term Pareto frontier of (tf, field_length) pairs.  tf_norm is
+    increasing in tf and decreasing in length, so for ANY (k1, b, avg)
+    the max posting tf_norm of a term is attained on this frontier —
+    the basis of the EXACT per-term score upper bound (the loose
+    tf_norm(tf_max, len_min) cross-combination overshoots the true max
+    on zipf prefixes, halving what the top-k prune loop can skip).
+    Frontier width per term ≤ #distinct tf values (small ints), so the
+    arrays are a few % of the postings.  Zero-tf rows (field absent)
+    contribute score 0 and are dropped.  Returns (off[nt+1], tf, ln)
+    CSR arrays, int64/uint32/uint32."""
+    if not len(tid):
+        return (np.zeros(nt + 1, np.int64), np.empty(0, np.uint32),
+                np.empty(0, np.uint32))
+    tf64 = np.asarray(tf, np.int64)
+    ln64 = np.asarray(ln, np.int64)
+    order = np.lexsort((ln64, -tf64, tid))
+    t_s, tf_s, ln_s = tid[order], tf64[order], ln64[order]
+    # segmented running-min of length over the tf-descending order via
+    # an offset trick: give earlier terms LARGER offsets so a prefix
+    # min never leaks across a term boundary
+    big = int(ln64.max()) + 1
+    v = (np.int64(nt) - t_s) * np.int64(big) + ln_s
+    runmin = np.minimum.accumulate(v)
+    prev = np.empty_like(runmin)
+    prev[0] = np.iinfo(np.int64).max
+    prev[1:] = runmin[:-1]
+    keep = (v < prev) & (tf_s > 0)
+    ktid, ktf, kln = t_s[keep], tf_s[keep], ln_s[keep]
+    cnt = np.bincount(ktid, minlength=nt)
+    off = np.concatenate(([0], np.cumsum(cnt))).astype(np.int64)
+    return off, ktf.astype(np.uint32), kln.astype(np.uint32)
+
+
 def _score_ub(tfm, lmn, idf_boosts, fields_boost, avgs, k1, b):
     """Vectorized per-expansion BM25 score upper bounds: tf_norm is
     increasing in tf and decreasing in field length, so
@@ -176,6 +228,9 @@ class ShardData:
         self.p_len: list[np.ndarray] = [np.empty(0, np.uint32)] * F
         self.tf_max: list[np.ndarray] = [np.empty(0, np.uint32)] * F
         self.len_min: list[np.ndarray] = [np.empty(0, np.uint32)] * F
+        self.fr = {ch: (np.zeros(1, np.int64), np.empty(0, np.uint32),
+                        np.empty(0, np.uint32))
+                   for ch in _frontier_channels(F)}
         if not tables:
             return
         full = pa.concat_tables(tables).sort_by(
@@ -195,7 +250,7 @@ class ShardData:
         import json as _json
         from probly_search_ray.functions.codec import FORMAT_VERSION
         sig_src = _json.dumps([
-            2,  # cache layout version (v2: + per-term impact bounds)
+            3,  # cache layout version (v3: + per-term Pareto frontiers)
             FORMAT_VERSION,
             [(r["group"], r["path"], r["rows"]) for r in man.term_files()],
         ], sort_keys=True)
@@ -209,7 +264,7 @@ class ShardData:
         _write_cache_arrays(cdir, self.num_fields, self.terms, self.df,
                             self.first_pos, self.post_off, self.p_docs,
                             self.p_tf, self.p_len, self.tf_max,
-                            self.len_min)
+                            self.len_min, self.fr)
 
     def _load_from_cache(self, cdir: str, slice_range=None) -> bool:
         if not os.path.isdir(cdir):
@@ -238,6 +293,13 @@ class ShardData:
                            for f in range(self.num_fields)]
             self.len_min = [np.load(os.path.join(cdir, f"len_min_{f}.npy"))
                             for f in range(self.num_fields)]
+            # Pareto frontiers (v3): offsets materialize (dictionary-
+            # sized, hot), points load small (≤ a few % of postings)
+            self.fr = {}
+            for m, f in _frontier_channels(self.num_fields):
+                self.fr[(m, f)] = tuple(
+                    np.load(os.path.join(cdir, f"fr_{part}_{m}_{f}.npy"))
+                    for part in ("off", "tf", "len"))
             post_off = np.array(self.post_off)
             if slice_range is not None:
                 lo, hi = slice_range
@@ -250,6 +312,12 @@ class ShardData:
                 self.first_pos = self.first_pos[i0:i1]
                 self.tf_max = [t[i0:i1] for t in self.tf_max]
                 self.len_min = [l[i0:i1] for l in self.len_min]
+                fr = {}
+                for ch, (off, ftf, fln) in self.fr.items():
+                    q0, q1 = int(off[i0]), int(off[i1])
+                    fr[ch] = (off[i0:i1 + 1] - q0, ftf[q0:q1],
+                              fln[q0:q1])
+                self.fr = fr
                 post_off = post_off[i0:i1 + 1] - p0
                 self.p_docs = self.p_docs[p0:p1]
                 self.p_tf = [t[p0:p1] for t in self.p_tf]
@@ -414,19 +482,81 @@ class ShardData:
         self._compute_bounds()
 
     def _compute_bounds(self) -> None:
-        """Per-term impact-bound inputs: max tf and min field length over
-        each term's postings (tf_norm is increasing in tf, decreasing in
-        len, so these give the tightest per-term BM25 upper bound)."""
+        """Per-term impact-bound inputs: (a) max tf and min field length
+        over each term's postings — the cheap coordinator-side bound —
+        and (b) the per-(term, field) Pareto frontier of (tf, len)
+        pairs, which yields the EXACT max posting score for any query
+        params (see ``_pareto_filter``) and drives the shard-local
+        top-k prune."""
         F = self.num_fields
         seg = self.post_off[:-1]
-        if len(self.terms) == 0:
+        nt = len(self.terms)
+        if nt == 0:
             self.tf_max = [np.empty(0, np.uint32)] * F
             self.len_min = [np.empty(0, np.uint32)] * F
+            self.fr = {ch: (np.zeros(1, np.int64),
+                            np.empty(0, np.uint32),
+                            np.empty(0, np.uint32))
+                       for ch in _frontier_channels(F)}
             return
         self.tf_max = [np.maximum.reduceat(self.p_tf[f], seg)
                        .astype(np.uint32) for f in range(F)]
         self.len_min = [np.minimum.reduceat(self.p_len[f], seg)
                         .astype(np.uint32) for f in range(F)]
+        seg_n = np.diff(self.post_off)
+        tid = np.repeat(np.arange(nt, dtype=np.int64), seg_n)
+        support = np.zeros(len(tid), dtype=np.int64)
+        for f in range(F):
+            support |= (np.asarray(self.p_tf[f]) > 0).astype(np.int64) << f
+        self.fr = {}
+        for m, f in _frontier_channels(F):
+            if m:
+                sel = support == m
+                self.fr[(m, f)] = _pareto_filter(
+                    tid[sel], np.asarray(self.p_tf[f])[sel],
+                    np.asarray(self.p_len[f])[sel], nt)
+            else:
+                self.fr[(m, f)] = _pareto_filter(
+                    tid, np.asarray(self.p_tf[f]),
+                    np.asarray(self.p_len[f]), nt)
+
+    def frontier_ub(self, term_idx, idf_boosts, fields_boost, avgs,
+                    k1: float, b: float) -> np.ndarray:
+        """TIGHT per-term BM25 score upper bounds: per support class,
+        the per-field max posting tf_norm over the precomputed (tf, len)
+        Pareto frontier (every frontier point IS a real posting), summed
+        within the class and maxed across classes — exact for postings
+        whose support is a single field (see ``_frontier_channels``).
+        Absent terms (idx < 0) bound to 0.  Used by the shard-local
+        top-k prune loop; the coordinator keeps the cheap two-scalar
+        bound for its cross-shard RPCs."""
+        ti = np.asarray(term_idx, np.int64)
+        present = ti >= 0
+        ic = np.where(present, ti, 0)
+        per_mask: dict[int, np.ndarray] = {}
+        for (m, f), (off, ftf, fln) in self.fr.items():
+            bb = fields_boost[f]
+            if bb == 0.0 or avgs[f] <= 0.0:
+                continue
+            lo = off[ic]
+            n_f = np.where(present, off[ic + 1] - lo, 0)
+            g = np.repeat(lo, n_f) + _grouped_arange(n_f)
+            if not len(g):
+                continue
+            tf = np.asarray(ftf)[g].astype(np.float64)
+            ln = np.asarray(fln)[g].astype(np.float64)
+            tn = ((k1 + 1.0) * tf) / (
+                k1 * ((1.0 - b) + b * (ln / avgs[f])) + tf)
+            st = np.cumsum(n_f) - n_f
+            nz = n_f > 0
+            val = np.zeros(len(ti))
+            val[nz] = np.maximum.reduceat(tn, st[nz])
+            acc = per_mask.setdefault(m, np.zeros(len(ti)))
+            acc += bb * val
+        out = np.zeros(len(ti), np.float64)
+        for v in per_mask.values():
+            np.maximum(out, v, out=out)
+        return out * np.asarray(idf_boosts, dtype=np.float64)
 
     def prefault(self, warm_arena: bool = True,
                  arena_cap: int = 64 << 20) -> int:
@@ -442,7 +572,8 @@ class ShardData:
         once and the pages then stay in the arena (``tune_allocator``'s
         high trim threshold).  Returns bytes touched."""
         total = 0
-        for arr in [self.p_docs, *self.p_tf, *self.p_len]:
+        fr_arrays = [a for tup in self.fr.values() for a in tup[1:]]
+        for arr in [self.p_docs, *self.p_tf, *self.p_len, *fr_arrays]:
             if len(arr):
                 # one touch per 4 KiB page faults the whole mapping
                 np.add.reduce(arr[:: max(1, 4096 // arr.itemsize)])
@@ -735,9 +866,23 @@ class ShardData:
         else:
             idx_all = np.fromiter((self._term_index(t) for t in terms),
                                   dtype=np.int64, count=len(terms))
+        # Two bounds, two jobs.  ORDER by the loose tf_max/len_min
+        # cross-combination (``_score_ub``): its idf dominance front-
+        # loads rare SMALL-df expansions, so round 1 scores few postings
+        # yet still establishes the true kth (high-idf terms produce the
+        # top scores).  FILTER each chunk by the tight Pareto-frontier
+        # bound (``frontier_ub``, ~2x tighter on zipf prefixes): a term
+        # survives only if a REAL posting of it could reach the kth.
+        # Ordering by the tight bound instead is a measured trap — it
+        # promotes hot big-df terms into round 1 ('qua' on the 600k
+        # bench index: 195k postings scored vs 39k loose-ordered); the
+        # hybrid is never worse and cuts the worst prefix 3x ('cra'
+        # 536k → 159k postings, 27 → 9 ms).
+        ub_tight = self.frontier_ub(idx_all, idf, fields_boost, avgs,
+                                    k1, b)
         _, tfm, lmn = self.bounds_arrays(terms, term_idx=idx_all)
-        ub_each = _score_ub(tfm, lmn, idf, fields_boost, avgs, k1, b)
-        order_ub = np.argsort(-ub_each, kind="stable")
+        ub_loose = _score_ub(tfm, lmn, idf, fields_boost, avgs, k1, b)
+        order_ub = np.argsort(-ub_loose, kind="stable")
         g_docs = np.empty(0, dtype=np.uint64)
         g_scores = np.empty(0, dtype=np.float64)
         chunk_n = 64
@@ -749,21 +894,29 @@ class ShardData:
             else:
                 kth = -np.inf
             cand = order_ub[pos:pos + chunk_n]
-            sel = cand[ub_each[cand] > kth]
-            if not len(sel):
+            # sound break: cand is loose-desc, so every later term's
+            # loose ub (>= its actual max score) is below kth too; a
+            # strict < keeps kth TIES scoring — a tight bound can EQUAL
+            # a real posting score, and a doc tying the running kth may
+            # still win the canonical (score desc, doc id asc) tie-break
+            if ub_loose[cand[0]] < kth:
                 break
-            _, d, s = self.score_bm25_batch(
-                [terms[i] for i in sel], idf[sel], fields_boost, avgs,
-                k1, b, tomb, False, k, float(kth),
-                term_idx=idx_all[sel])
-            if len(d):
-                o = np.argsort(d, kind="stable")
-                d_s, s_s = d[o], s[o]
-                st = np.flatnonzero(np.concatenate(
-                    ([True], d_s[1:] != d_s[:-1])))
-                g_docs, g_scores = _merge_max(
-                    g_docs, g_scores, d_s[st],
-                    np.maximum.reduceat(s_s, st))
+            sel = cand[ub_tight[cand] >= kth]
+            # an empty sel is NOT terminal: the tight filter is not the
+            # ordering key, so later chunks may still qualify
+            if len(sel):
+                _, d, s = self.score_bm25_batch(
+                    [terms[i] for i in sel], idf[sel], fields_boost,
+                    avgs, k1, b, tomb, False, k, float(kth),
+                    term_idx=idx_all[sel])
+                if len(d):
+                    o = np.argsort(d, kind="stable")
+                    d_s, s_s = d[o], s[o]
+                    st = np.flatnonzero(np.concatenate(
+                        ([True], d_s[1:] != d_s[:-1])))
+                    g_docs, g_scores = _merge_max(
+                        g_docs, g_scores, d_s[st],
+                        np.maximum.reduceat(s_s, st))
             pos += chunk_n
             chunk_n *= 2
         return g_docs, g_scores
@@ -887,7 +1040,7 @@ class ShardData:
 
 def _write_cache_arrays(cdir: str, num_fields: int, terms, df, first_pos,
                         post_off, p_docs, p_tf, p_len, tf_max,
-                        len_min) -> None:
+                        len_min, fr) -> None:
     """Persist decoded-CSR arrays as the mmap cache dir (atomic rename;
     best-effort — a read-only index dir just skips caching)."""
     import shutil
@@ -909,6 +1062,10 @@ def _write_cache_arrays(cdir: str, num_fields: int, terms, df, first_pos,
             np.save(os.path.join(tmp, f"p_len_{f}.npy"), p_len[f])
             np.save(os.path.join(tmp, f"tf_max_{f}.npy"), tf_max[f])
             np.save(os.path.join(tmp, f"len_min_{f}.npy"), len_min[f])
+        for (m, f), (off, ftf, fln) in fr.items():
+            np.save(os.path.join(tmp, f"fr_off_{m}_{f}.npy"), off)
+            np.save(os.path.join(tmp, f"fr_tf_{m}_{f}.npy"), ftf)
+            np.save(os.path.join(tmp, f"fr_len_{m}_{f}.npy"), fln)
         # length-prefixed utf8 (terms may contain any byte but NUL)
         enc = [t.encode() for t in terms]
         np.save(os.path.join(tmp, "term_lens.npy"),
@@ -945,8 +1102,11 @@ def _decode_term_file(path: str, F: int):
     doc_hi = sd.p_docs[sd.post_off[1:] - 1] if len(cnt) else \
         np.empty(0, np.uint64)
     big = ray.put((sd.p_docs, sd.p_tf, sd.p_len))
+    # per-part Pareto frontier CANDIDATES (already computed by
+    # _compute_bounds inside _load_csr): dictionary-scale, returned
+    # inline; the driver re-filters the per-term union across parts
     return (sd.terms, sd.df, sd.first_pos, cnt, sd.tf_max, sd.len_min,
-            doc_lo, doc_hi, big)
+            doc_lo, doc_hi, big, sd.fr)
 
 
 def _write_cache_slices(tmp_dir: str, F: int, big, dest_starts,
@@ -1058,6 +1218,23 @@ def build_csr_cache(index_dir: str) -> bool:
              for t in tfm]
     lmn_m = [np.minimum.reduceat(l[order], runs).astype(np.uint32)
              for l in lmn]
+    # merge per-part Pareto frontier candidates: union each merged
+    # term's candidates across parts, re-filter (dictionary-scale work
+    # — candidate width per term is ≤ #distinct tf values; a posting's
+    # support class is a per-posting property, so per-part classes
+    # union cleanly)
+    n_m = len(runs)
+    mrow = np.cumsum(new) - 1          # merged term id per ordered row
+    fr_m = {}
+    for ch in _frontier_channels(F):
+        c_cnt = np.concatenate([np.diff(p[9][ch][0]) for p, _ in parts])
+        c_tf = np.concatenate([p[9][ch][1] for p, _ in parts])
+        c_ln = np.concatenate([p[9][ch][2] for p, _ in parts])
+        starts = np.cumsum(c_cnt) - c_cnt
+        oc = c_cnt[order]
+        gi = np.repeat(starts[order], oc) + _grouped_arange(oc)
+        ctid = np.repeat(mrow, oc)
+        fr_m[ch] = _pareto_filter(ctid, c_tf[gi], c_ln[gi], n_m)
     post_off = np.concatenate(([0], np.cumsum(cnt_m))).astype(np.int64)
     total = int(post_off[-1])
     # destination offset of each source row: by construction post_off
@@ -1100,6 +1277,10 @@ def build_csr_cache(index_dir: str) -> bool:
         for f in range(F):
             np.save(os.path.join(tmp, f"tf_max_{f}.npy"), tfm_m[f])
             np.save(os.path.join(tmp, f"len_min_{f}.npy"), lmn_m[f])
+        for (m, f), (off, ktf, kln) in fr_m.items():
+            np.save(os.path.join(tmp, f"fr_off_{m}_{f}.npy"), off)
+            np.save(os.path.join(tmp, f"fr_tf_{m}_{f}.npy"), ktf)
+            np.save(os.path.join(tmp, f"fr_len_{m}_{f}.npy"), kln)
         enc = [t.encode() for t in terms_m]
         np.save(os.path.join(tmp, "term_lens.npy"),
                 np.asarray([len(e) for e in enc], dtype=np.int64))

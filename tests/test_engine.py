@@ -432,6 +432,12 @@ def test_csr_cache_multigroup_merge(tmp_path):
     for f in range(1):
         assert (np.asarray(hit.p_tf[f]) == raw.p_tf[f]).all()
         assert (np.asarray(hit.tf_max[f]) == raw.tf_max[f]).all()
+    # the driver-side merged Pareto frontiers (union-across-groups then
+    # re-filter) must equal the fresh single-pass computation
+    assert set(hit.fr) == set(raw.fr)
+    for ch in raw.fr:
+        for a, b in zip(raw.fr[ch], hit.fr[ch]):
+            assert (np.asarray(a) == np.asarray(b)).all(), ch
     eng = SearchEngine(idx)
     for q in ("a", "ab zz", "b ca zq"):
         full = eng.query(q, "bm25")
@@ -587,3 +593,54 @@ def test_doc_sharded_engine(tmp_path):
     dsa = SearchEngine(eng.index_dir, doc_shards=3, use_actors=True)
     assert_results(dsa.query("alp zet", "bm25", k=5),
                    eng.query("alp zet", "bm25", k=5), "docshard-actors")
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed,nfields", [(61, 1), (62, 2), (63, 2)])
+def test_frontier_bounds(tmp_path, seed, nfields):
+    """Per-term Pareto-frontier score bounds (``frontier_ub``): for ANY
+    (k1, b, avgs, boosts) the bound dominates every posting's actual
+    BM25 contribution, is EXACT for terms whose postings all have
+    single-field support, and survives the v3 cache roundtrip."""
+    from probly_search_ray.search import ShardData, _frontier_channels
+    rng = np.random.default_rng(seed)
+    vocab = np.array(["a", "ab", "abc", "b", "ba", "ca", "zz"])
+    corpus = _rand_corpus(rng, 70, nfields, vocab)
+    eng = build_engine(tmp_path, corpus)        # writes the v3 cache
+    raw = ShardData(eng.index_dir, use_cache=False)
+    hit = ShardData(eng.index_dir)
+    # cache roundtrip: frontier channels and arrays identical
+    assert set(hit.fr) == set(raw.fr) == set(_frontier_channels(nfields))
+    for ch in raw.fr:
+        for a, b_ in zip(raw.fr[ch], hit.fr[ch]):
+            assert (np.asarray(a) == np.asarray(b_)).all(), ch
+    nt = len(raw.terms)
+    tomb = np.empty(0, np.uint64)
+    idx_all = np.arange(nt, dtype=np.int64)
+    params = [(1.2, 0.75, [1.0] * nfields, [2.0, 7.0][:nfields]),
+              (0.9, 0.3, ([1.0, 0.0] * 2)[:nfields], [11.0, 3.0][:nfields]),
+              (2.0, 1.0, [0.5, 2.0][:nfields], [1.0, 1.0][:nfields])]
+    # per-posting support mask → which terms are single-field-only
+    seg_n = np.diff(raw.post_off)
+    tid = np.repeat(idx_all, seg_n)
+    support = np.zeros(int(seg_n.sum()), np.int64)
+    for f in range(nfields):
+        support |= (np.asarray(raw.p_tf[f]) > 0).astype(np.int64) << f
+    multi = np.zeros(nt, bool)
+    both = (support & (support - 1)) > 0        # >1 bit set
+    np.logical_or.at(multi, tid, both)
+    idf = 1.0 + rng.random(nt)
+    for k1, b, boosts, avgs in params:
+        ub = raw.frontier_ub(idx_all, idf, boosts, avgs, k1, b)
+        for ti, term in enumerate(raw.terms):
+            _, docs, s = raw.score_bm25_batch(
+                [term], [idf[ti]], boosts, avgs, k1, b, tomb,
+                keep_nonpositive=True)
+            actual = float(s.max()) if len(s) else 0.0
+            assert ub[ti] >= actual - 1e-12, (term, k1, b, boosts)
+            if not multi[ti] and any(boosts):
+                assert abs(ub[ti] - actual) < 1e-9, \
+                    (term, k1, b, boosts, "single-support must be exact")
+    # absent term bounds to 0
+    assert raw.frontier_ub(np.array([-1]), [1.0], [1.0] * nfields,
+                           [3.0] * nfields, 1.2, 0.75)[0] == 0.0
