@@ -3065,20 +3065,32 @@ QUERIES["zero_to_one_search"] = zero_to_one_search  # re-slot below
 # already pinned green by CORRECTNESS_r03.
 # ---------------------------------------------------------------------------
 _FRONT = [
-    # (a) no driver CORRECTNESS row yet
-    "autocomplete", "bm25_fuzzy", "phrase_search", "source_quota",
-    "bm25_append_index", "bm25_multifield", "bm25_facets",
-    "bm25_top_per_source", "events_asof_orders", "events_window_orders",
-    "distinct_users_per_type", "hll_distinct_users", "top_terms_sketch",
-    "doclen_quantiles", "embedding_clusters", "semantic_dedup",
-    "token_estimate", "dup_spans", "index_postings", "media_check",
-    "hll_check", "kmeans_check", "semdedup_check", "bucketed_pairs_check",
-    # (b) changed this round
-    "embedding_near_dups_highthr", "embedding_topk", "props_k_stats",
-    "zero_to_one_search", "embedding_topk_ivf", "tfidf_top3",
-    "unigram_logprob", "top_pmi_bigrams", "embedding_near_dups",
-    "embedding_near_dups_bucketed", "bm25_doc_sharded",
-    "bm25_merged_index", "events_hourly", "events_sliding",
+    # ROUND-5 FREEZE (the final round; the driver verifies the FIRST 50
+    # entries).  Composition, by risk:
+    # (a) sig-changed since the r4 pin (entry_sigs.json) — new entry,
+    #     tolerance-reworked checks, shared-factory rewrites
+    "embedding_near_dups_highthr", "hll_check", "kmeans_check",
+    "semdedup_check", "bucketed_pairs_check", "embedding_near_dups",
+    "embedding_near_dups_bucketed", "embedding_topk",
+    "embedding_topk_ivf", "embedding_clusters", "semantic_dedup",
+    "index_postings", "props_k_stats", "events_asof_orders",
+    "events_window_orders", "events_hourly", "events_sliding",
+    "sessions", "distinct_users_per_type", "hll_distinct_users",
+    # (b) engine-query entries: search.py's pruned top-k loop changed
+    #     this round (Pareto-frontier filter) — a shared-helper change
+    #     the sig tripwire can't see, so they get driver rows anyway
+    "bm25_exact", "bm25_prefix", "bulk_bm25", "autocomplete",
+    "bm25_fuzzy", "phrase_search", "bm25_doc_sharded",
+    "bm25_merged_index", "source_quota", "bm25_append_index",
+    "bm25_multifield", "bm25_facets", "bm25_top_per_source",
+    # (c) last pinned by CORRECTNESS_r03 — re-pinning them here makes
+    #     union(r04, r05) cover 70/75 entries (NOTES_r5 has the ledger)
+    "bm25_conjunctive", "bm25_exclusion", "bm25_snippets",
+    "more_like_this", "corpus_clean", "near_dedup_survivors",
+    "near_dup_clusters", "decontaminate", "redact_patterns",
+    "pack_shards", "sample_stratified", "langid", "quality_scores",
+    "token_stats", "repetition_stats", "fingerprint_check",
+    "simhash_check",
 ]
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 QUERIES = {k: QUERIES[k] for k in
