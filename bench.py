@@ -139,6 +139,12 @@ def bench_build(pages_dir: str, num_cpus: int, timed_runs: int = 2,
            "index_dir": idx_dir}
     if time_cache:
         import shutil
+        # same one-sided-noise rescue as the build: the bar only means
+        # anything for the 600k headline corpus (quiet-host v3 cache
+        # builds sit at 4-9 s there); other sizes take the first reading
+        cbar = float(os.environ.get(
+            "GRAFT_CACHE_RESCUE_SEC",
+            "12" if NUM_DOCS == 600000 else "inf"))
         cwall = float("inf")
         for _ in range(2):
             cdir = os.path.join(idx_dir, "cache")
@@ -147,7 +153,7 @@ def bench_build(pages_dir: str, num_cpus: int, timed_runs: int = 2,
             t0 = time.perf_counter()
             build_csr_cache(idx_dir)
             cwall = min(cwall, time.perf_counter() - t0)
-            if cwall <= 12.0:  # quiet-host v3 cache builds sit at 4-9 s
+            if cwall <= cbar:
                 break
         out["cache_build_sec"] = round(cwall, 3)
     tb = _text_bytes(pages_dir)

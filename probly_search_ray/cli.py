@@ -168,8 +168,12 @@ def cmd_pipeline(args):
                           "files": len(files)}))
     else:
         if isinstance(res, rd.Dataset):
-            # never materialize the full Dataset on the driver just to
-            # print a summary — count() streams, limit() bounds the pull
+            # never pull the full Dataset to the driver just to print a
+            # summary — materialize() pins blocks in the (spillable)
+            # object store ONCE, making count() metadata-only and
+            # limit() a few-block pull, instead of executing the lazy
+            # plan twice (once per accessor)
+            res = res.materialize()
             rows = int(res.count())
             df = res.limit(args.head).to_pandas()
         else:

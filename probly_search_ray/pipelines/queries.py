@@ -1022,7 +1022,7 @@ def hll_check(sf_dir: str):
 
 
 def _ref_serial_kmeans(sf_dir: str, n_clusters: int, iters: int,
-                       seed: int = 5):
+                       seed: int = 5, return_sims: bool = False):
     """Independent SERIAL reference for the distributed k-means
     pipeline: one process, one matrix, fresh numpy code.  Reimplements
     the distributed machinery the check exists to pin — the seeded
@@ -1060,6 +1060,8 @@ def _ref_serial_kmeans(sf_dir: str, n_clusters: int, iters: int,
         c = new
     sims = xn @ c.T
     a = np.argmax(sims, axis=1)
+    if return_sims:
+        return ids, a, np.round(sims[np.arange(len(a)), a], 6), sims
     return ids, a, np.round(sims[np.arange(len(a)), a], 6)
 
 
@@ -1075,20 +1077,30 @@ def kmeans_check(sf_dir: str):
                                columns=["vec_id", "embedding"])
     _, assign = kmeans_full(ds, n_clusters=8, iters=5)
     fast = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
-    ids, a, cos = _ref_serial_kmeans(sf_dir, n_clusters=8, iters=5)
-    ref = {int(i): (int(c), float(s)) for i, c, s in zip(ids, a, cos)}
+    ids, a, cos, sims = _ref_serial_kmeans(sf_dir, n_clusters=8,
+                                           iters=5, return_sims=True)
+    row = {int(i): r for r, i in enumerate(ids)}
     # per-batch partials and the whole-matrix serial sum accumulate in
     # different FP association orders, so a 6dp cosine landing on a
     # rounding boundary can round apart — compare within one rounding
-    # grain (1.5e-6) instead of bit-exactly.  The cosine pin alone is
-    # what makes the check sound even across an argmax near-tie label
-    # flip: any REAL assignment bug scores the vector against a
-    # non-best centroid and drops its cosine strictly below the
-    # reference's max, so a within-grain cosine certifies the
-    # distributed path found the same top score.
-    agree = int(sum(int(i) in ref
-                    and abs(float(s) - ref[int(i)][1]) <= 1.5e-6
-                    for i, s in zip(fast["vec_id"], fast["cosine"])))
+    # grain (1.5e-6) instead of bit-exactly.  LABELS are pinned too:
+    # a row agrees only if its cosine is within the grain AND its
+    # cluster label matches the reference, with one certified escape —
+    # a label flip is accepted only when the reference's own cosine to
+    # the distributed label ties its max within the grain (a genuine
+    # argmax near-tie, where either label is correct).  A bug that
+    # deterministically picks a non-best centroid with a merely-close
+    # cosine fails the label pin.
+    grain = 1.5e-6
+    mx = sims.max(axis=1)
+    agree = 0
+    for i, c_, s in zip(fast["vec_id"], fast["cluster"],
+                        fast["cosine"]):
+        r = row.get(int(i))
+        if r is None or abs(float(s) - float(cos[r])) > grain:
+            continue
+        if int(c_) == int(a[r]) or                 sims[r, int(c_)] >= mx[r] - grain:
+            agree += 1
     return pd.DataFrame({"n_checked": [len(fast)], "n_agree": [agree]})
 
 

@@ -48,6 +48,18 @@ def _grouped_arange(lengths: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
 
+def _tie_floor(kth: float) -> float:
+    """One ulp below ``kth`` — the safe threshold for comparing an
+    UPPER BOUND against the running kth score.  The bounds evaluate
+    BM25 with a different float64 op order than the scoring kernel
+    ((boost·tn)·idf vs tn·(idf·boost)), so an exact bound can land one
+    ulp below an achievable real score; filtering at ``>= kth`` would
+    then drop a doc that ties the kth and wins the canonical doc-id
+    tie-break.  Real scores still compare against ``kth`` directly —
+    they share the kernel's op order exactly."""
+    return float(np.nextafter(kth, -np.inf)) if np.isfinite(kth) else kth
+
+
 def _frontier_channels(F: int):
     """(support_mask, field) channels for the tight per-term bound.
     A posting's score is Σ_f w_f·tf_norm_f, and postings with DISJOINT
@@ -895,13 +907,16 @@ class ShardData:
                 kth = -np.inf
             cand = order_ub[pos:pos + chunk_n]
             # sound break: cand is loose-desc, so every later term's
-            # loose ub (>= its actual max score) is below kth too; a
-            # strict < keeps kth TIES scoring — a tight bound can EQUAL
-            # a real posting score, and a doc tying the running kth may
-            # still win the canonical (score desc, doc id asc) tie-break
-            if ub_loose[cand[0]] < kth:
+            # loose ub (>= its actual max score) is below kth too; the
+            # _tie_floor threshold keeps kth TIES scoring — a tight
+            # bound can EQUAL (or, by float op order, sit one ulp
+            # under) a real posting score, and a doc tying the running
+            # kth may still win the canonical (score desc, doc id asc)
+            # tie-break
+            kth_f = _tie_floor(kth)
+            if ub_loose[cand[0]] < kth_f:
                 break
-            sel = cand[ub_tight[cand] >= kth]
+            sel = cand[ub_tight[cand] >= kth_f]
             # an empty sel is NOT terminal: the tight filter is not the
             # ordering key, so later chunks may still qualify
             if len(sel):
@@ -2084,7 +2099,10 @@ class SearchEngine:
                     else:
                         kth = -np.inf
                     cand = order_ub[pos:pos + CHUNK]
-                    chunk = cand[ub_each[cand] > kth].tolist()
+                    # >= with the ulp-safe floor, mirroring the
+                    # shard-local loop: a bound equaling the kth may be
+                    # a real score whose doc wins the doc-id tie-break
+                    chunk = cand[ub_each[cand] >= _tie_floor(kth)]                         .tolist()
                     if not chunk:
                         break
                     terms_c = [ordered[i] for i in chunk]
