@@ -55,9 +55,14 @@ def _tie_floor(kth: float) -> float:
     ((boost·tn)·idf vs tn·(idf·boost)), so an exact bound can land one
     ulp below an achievable real score; filtering at ``>= kth`` would
     then drop a doc that ties the kth and wins the canonical doc-id
-    tie-break.  Real scores still compare against ``kth`` directly —
-    they share the kernel's op order exactly."""
-    return float(np.nextafter(kth, -np.inf)) if np.isfinite(kth) else kth
+    tie-break.  Bound and kernel each apply (at least) two independent
+    roundings, so the drift can reach a few ulps — 4 ulps of slack
+    covers it; the only cost is the odd extra candidate scored.  Real
+    scores still compare against ``kth`` directly — they share the
+    kernel's op order exactly."""
+    if not np.isfinite(kth):
+        return kth
+    return float(kth - 4.0 * np.spacing(abs(kth)))
 
 
 def _frontier_channels(F: int):
@@ -250,7 +255,11 @@ class ShardData:
         if not len(full):
             return
         self._load_csr(full, F)
-        if self._cache_dir and self._doc_mod is None:
+        if self._cache_dir:
+            # also for doc-mod views: at this point the arrays ARE the
+            # full-range cache content (the view filter applies below),
+            # so a cache-cold doc-sharded pool seeds the cache for every
+            # later load instead of leaving D actors to re-decode
             self._write_cache(self._cache_dir)
         self._apply_doc_mod()
 
@@ -716,7 +725,9 @@ class ShardData:
             if not keep.all():
                 alive = alive[keep]
                 if not len(alive):
-                    return []
+                    # over-cap terms were matched by the tail scan and
+                    # are independent of the in-matrix DP — keep them
+                    return tail_hits
                 cur = cur[keep]
                 sub = sub[keep]
             prev = cur
@@ -832,12 +843,7 @@ class ShardData:
             # single-term prune path because the global score is the max
             # over expansions, and every doc's best appearance lives in
             # exactly one shard — k docs already beat anything cut here.
-            o = np.argsort(docs, kind="stable")
-            d_s, s_s = docs[o], s[o]
-            st = np.flatnonzero(np.concatenate(
-                ([True], d_s[1:] != d_s[:-1])))
-            d_u = d_s[st]
-            s_u = np.maximum.reduceat(s_s, st)
+            d_u, s_u = _reduce_max_by_doc(docs, s)
             if len(d_u) > topk:
                 kth = -np.partition(-s_u, topk - 1)[topk - 1]
                 m = s_u >= kth
@@ -925,13 +931,8 @@ class ShardData:
                     avgs, k1, b, tomb, False, k, float(kth),
                     term_idx=idx_all[sel])
                 if len(d):
-                    o = np.argsort(d, kind="stable")
-                    d_s, s_s = d[o], s[o]
-                    st = np.flatnonzero(np.concatenate(
-                        ([True], d_s[1:] != d_s[:-1])))
                     g_docs, g_scores = _merge_max(
-                        g_docs, g_scores, d_s[st],
-                        np.maximum.reduceat(s_s, st))
+                        g_docs, g_scores, *_reduce_max_by_doc(d, s))
             pos += chunk_n
             chunk_n *= 2
         return g_docs, g_scores
@@ -1308,16 +1309,25 @@ def build_csr_cache(index_dir: str) -> bool:
     return os.path.isdir(cdir)
 
 
-def _merge_max(d1, s1, d2, s2):
-    """Merge two (sorted docs, scores) maps taking the per-doc max."""
-    if not len(d1):
-        return d2, s2
-    d = np.concatenate((d1, d2))
-    s = np.concatenate((s1, s2))
+def _reduce_max_by_doc(d, s):
+    """(docs, scores) → (sorted-unique docs, per-doc MAX score).  The
+    one per-doc reduction shape shared by the shard-local top-k cut,
+    both prune loops and ``_merge_max`` — the stable sort + run-starts
+    + ``maximum.reduceat`` tie subtleties live here once."""
+    if not len(d):
+        return d, s
     o = np.argsort(d, kind="stable")
     d_s, s_s = d[o], s[o]
     st = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
     return d_s[st], np.maximum.reduceat(s_s, st)
+
+
+def _merge_max(d1, s1, d2, s2):
+    """Merge two (sorted docs, scores) maps taking the per-doc max."""
+    if not len(d1):
+        return d2, s2
+    return _reduce_max_by_doc(np.concatenate((d1, d2)),
+                              np.concatenate((s1, s2)))
 
 
 class _SizeOnlyDict(dict):
@@ -1476,6 +1486,15 @@ class SearchEngine:
         (cheap)."""
         man = Manifest(self.index_dir)
         if self._sig(man) != self._manifest_sig:
+            if self._shared_handles is not None:
+                # the actors belong to another engine/pool; reloading
+                # only this coordinator's stats would mix NEW idf
+                # inputs with the actors' OLD postings — refuse loudly
+                raise RuntimeError(
+                    "index changed under an engine with shared shard "
+                    "handles; rebuild the owning pool (the handles) "
+                    "instead — this engine cannot reload actors it "
+                    "does not own")
             self._load()
             return True
         self.stats = Stats(self.index_dir)
@@ -1621,7 +1640,8 @@ class SearchEngine:
         if scorer == "bm25":
             docs, scores = self._query_bm25(query_terms, fields_boost,
                                             n_docs, avgs, k1, b, expand,
-                                            None if excl is not None else k,
+                                            None if (excl is not None
+                                                     and len(excl)) else k,
                                             restrict_docs=restrict,
                                             fuzzy=fuzzy)
             if excl is not None and len(docs):
@@ -1960,17 +1980,6 @@ class SearchEngine:
             self._exp_cache[key] = res
         return res
 
-    def _owner_shard(self, term: str):
-        # shards have disjoint term ranges; find by probing expand on the
-        # exact term (cheap).  With 1 shard, trivial.
-        if len(self.shards) == 1:
-            return self.shards[0]
-        for shard in self.shards:
-            got = self._call_one(shard, "df_adjusted", term, np.empty(0, np.uint64))
-            if got > 0:
-                return shard
-        return self.shards[0]
-
     @staticmethod
     def _score_ub_vec(tfm, lmn, idf_boosts, fields_boost, avgs, k1, b):
         """See module-level ``_score_ub`` (kept as a method alias)."""
@@ -2102,7 +2111,8 @@ class SearchEngine:
                     # >= with the ulp-safe floor, mirroring the
                     # shard-local loop: a bound equaling the kth may be
                     # a real score whose doc wins the doc-id tie-break
-                    chunk = cand[ub_each[cand] >= _tie_floor(kth)]                         .tolist()
+                    chunk = cand[
+                        ub_each[cand] >= _tie_floor(kth)].tolist()
                     if not chunk:
                         break
                     terms_c = [ordered[i] for i in chunk]
@@ -2114,14 +2124,8 @@ class SearchEngine:
                     dp = [d for _, d, _ in per_shard if len(d)]
                     sp = [s for _, _, s in per_shard if len(s)]
                     if dp:
-                        d_all = np.concatenate(dp)
-                        s_all = np.concatenate(sp)
-                        o = np.argsort(d_all, kind="stable")
-                        d_s, s_s = d_all[o], s_all[o]
-                        st = np.flatnonzero(np.concatenate(
-                            ([True], d_s[1:] != d_s[:-1])))
-                        d_u = d_s[st]
-                        s_u = np.maximum.reduceat(s_s, st)
+                        d_u, s_u = _reduce_max_by_doc(
+                            np.concatenate(dp), np.concatenate(sp))
                         g_docs, g_scores = _merge_max(g_docs, g_scores,
                                                      d_u, s_u)
                     pos += CHUNK

@@ -324,3 +324,20 @@ def test_exclusion_differential(tmp_path, layout):
                     exclude="scan")
     dropped = {d for d, toks in texts.items() if "scan" in toks}
     assert got == [(d, s) for d, s in full if d not in dropped]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_over_cap_tail_survives_dp_exit(tmp_path):
+    """Terms longer than _FUZZY_WIDTH_CAP are matched by the tail scan;
+    those hits must survive even when every IN-MATRIX candidate dies
+    mid-DP (the early exit used to return [] and drop them)."""
+    long_t = "x" * 50                  # > 48-byte cap → tail scan
+    decoy = "z" * 48                   # in-matrix, same length class
+    corpus = [(f"{long_t} apple",), (f"{decoy} pear",), ("apple pear",)]
+    eng = build_engine(tmp_path, corpus)
+    q = "x" * 49 + "y"                 # lev 1 from long_t, ~49 from decoy
+    got = eng.query(q, "bm25", fuzzy=2)
+    want = _brute_fuzzy(corpus, q, 2)
+    assert len(got) == len(want) == 1
+    assert got[0][0] == want[0][0] == 0
+    assert abs(got[0][1] - want[0][1]) < TOL
