@@ -1561,8 +1561,19 @@ def _join_partitions(want: int | None = None) -> int:
         return 8
 
 
+def _strip_pandas_meta(b: pa.Table) -> pa.Table:
+    """Drop the ``b'pandas'`` schema-metadata blob Ray attaches when it
+    converts a pandas block (a ``map_groups(batch_format="pandas")``
+    output) to Arrow for this stage: the blob's dict makes downstream
+    schema hashing fail, so every later sort/reduce logs "Failed to
+    hash the schemas" AND skips its schema-dedup fast path.  O(1),
+    zero-copy."""
+    return b.replace_schema_metadata(None) if b.schema.metadata else b
+
+
 def _pb_by_doc(parts: int = 64):
     def add_pb(b: pa.Table) -> pa.Table:
+        b = _strip_pandas_meta(b)
         pb = (b["doc_id"].to_numpy().astype(np.uint64)
               % np.uint64(parts)).astype(np.int64)
         return b.append_column("pb", pa.array(pb))
@@ -1580,6 +1591,7 @@ def _pb_by_term(col: str = "term", parts: int = 64):
     from probly_search_ray.functions.hashing import hash_tokens_u64
 
     def add_pb(b: pa.Table) -> pa.Table:
+        b = _strip_pandas_meta(b)
         v = b[col].to_numpy(zero_copy_only=False).astype(object)
         pb = (hash_tokens_u64(v) % np.uint64(parts)).astype(np.int64) \
             if len(v) else np.empty(0, np.int64)

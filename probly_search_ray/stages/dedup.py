@@ -167,8 +167,14 @@ def lsh_candidate_pairs(docs_ds, k: int = 128, bands: int = 16, w: int = 3,
         right = np.repeat(pos, ia)
         df = pd.DataFrame({"a": dc[left].astype(np.int64),
                            "b": dc[right].astype(np.int64)})
-        # partition-local dedupe shrinks the second shuffle
-        return df.drop_duplicates(["a", "b"])
+        # partition-local dedupe shrinks the second shuffle.  dict-of-
+        # numpy return → Ray builds the block as Arrow directly; a
+        # pd.DataFrame return would be converted downstream via
+        # pa.Table.from_pandas, whose b'pandas' schema-metadata blob
+        # makes schema hashing fail (unhashable dict) — every later
+        # reduce then warns AND skips its schema-dedup fast path.
+        df = df.drop_duplicates(["a", "b"])
+        return {"a": df["a"].to_numpy(), "b": df["b"].to_numpy()}
 
     pairs = bands_ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("pb").map_groups(emit_pairs_part, batch_format="pandas")
@@ -182,8 +188,9 @@ def lsh_candidate_pairs(docs_ds, k: int = 128, bands: int = 16, w: int = 3,
         return t.append_column(
             "pp", pa.array((h % np.uint64(parts)).astype(np.int64)))
 
-    def distinct_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["a", "b"]].drop_duplicates(["a", "b"])
+    def distinct_part(g: pd.DataFrame):
+        d = g[["a", "b"]].drop_duplicates(["a", "b"])
+        return {"a": d["a"].to_numpy(), "b": d["b"].to_numpy()}
 
     return pairs.map_batches(add_pp, batch_format="pyarrow") \
         .groupby("pp").map_groups(distinct_part, batch_format="pandas")
@@ -308,7 +315,7 @@ def _verify_chunk(sh_ds, a: np.ndarray, b: np.ndarray) -> np.ndarray:
         dup = (pid[1:] == pid[:-1]) & (sh[1:] == sh[:-1])
         dp = pid[1:][dup]
         up, cnt = np.unique(dp, return_counts=True)
-        return pd.DataFrame({"pid": up, "inter": cnt})
+        return {"pid": up.astype(np.int64), "inter": cnt.astype(np.int64)}
 
     # ONE pid-partitioned shuffle + vectorized per-partition counting
     # (Ray's multi-key aggregate(Count) distinct measured ~30x slower)
@@ -435,7 +442,7 @@ def exact_dup_drops(docs_ds, text_col: str = "text", parts: int = 64):
         ch, ids = ch[order], ids[order]
         dup = np.zeros(len(ch), dtype=bool)
         dup[1:] = ch[1:] == ch[:-1]          # every member after the min
-        return pd.DataFrame({"doc_id": ids[dup]})
+        return {"doc_id": ids[dup].astype(np.int64)}
 
     return hashed.map_batches(add_pb, batch_format="pyarrow") \
         .groupby("pb").map_groups(drops_part, batch_format="pandas")
@@ -545,12 +552,13 @@ def connected_components(pairs, parts: int = 64, max_iters: int = 64):
         lx, ly = lx[order], ly[order]
         ex, ey = x[~lab], y[~lab]
         if len(lx) == 0:
-            return pd.DataFrame({"node": np.empty(0, np.int64),
-                                 "comp": np.empty(0, np.int64)})
+            return {"node": np.empty(0, np.int64),
+                    "comp": np.empty(0, np.int64)}
         pos = np.searchsorted(lx, ey)
         pos = np.minimum(pos, len(lx) - 1)
         m = lx[pos] == ey
-        return pd.DataFrame({"node": ex[m], "comp": ly[pos[m]]})
+        return {"node": ex[m].astype(np.int64),
+                "comp": ly[pos[m]].astype(np.int64)}
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         n = g["node"].to_numpy()
@@ -559,7 +567,8 @@ def connected_components(pairs, parts: int = 64, max_iters: int = 64):
         n, c = n[order], c[order]
         first = np.ones(len(n), dtype=bool)
         first[1:] = n[1:] != n[:-1]
-        return pd.DataFrame({"node": n[first], "comp": c[first]})
+        return {"node": n[first].astype(np.int64),
+                "comp": c[first].astype(np.int64)}
 
     def by_node(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:
@@ -652,16 +661,16 @@ def dup_span_stats(docs_ds, w: int = 5, text_col: str = "text"):
         groupby().aggregate() on the same keys (the repo-standard
         fixed-partition shuffle shape)."""
         if not len(g):
-            return pd.DataFrame({"tot": pd.Series(dtype=np.int64),
-                                 "d0": pd.Series(dtype=np.int64)})
+            return {"tot": np.empty(0, np.int64),
+                    "d0": np.empty(0, np.int64)}
         k = g["h"].to_numpy(np.int64)
         o = np.argsort(k, kind="stable")
         k_s = k[o]
         st = np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))
-        return pd.DataFrame({
+        return {
             "tot": np.add.reduceat(g["c"].to_numpy(np.int64)[o], st),
             "d0": np.minimum.reduceat(
-                g["doc_id"].to_numpy(np.int64)[o], st)})
+                g["doc_id"].to_numpy(np.int64)[o], st)}
 
     pairs = docs_ds.map_batches(pair_rows, batch_format="pyarrow")
     per_hash = pairs.map_batches(pb_col("h"), batch_format="pyarrow") \
@@ -683,19 +692,19 @@ def dup_span_stats(docs_ds, w: int = 5, text_col: str = "text"):
     spans = docs_ds.map_batches(span_counts, batch_format="pyarrow")
     def doc_part(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                                 "n_spans": pd.Series(dtype=np.int64),
-                                 "n_sing": pd.Series(dtype=np.int64)})
+            return {"doc_id": np.empty(0, np.int64),
+                    "n_spans": np.empty(0, np.int64),
+                    "n_sing": np.empty(0, np.int64)}
         d = g["doc_id"].to_numpy(np.int64)
         o = np.argsort(d, kind="stable")
         d_s = d[o]
         st = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
-        return pd.DataFrame({
+        return {
             "doc_id": d_s[st],
             "n_spans": np.add.reduceat(
                 g["spans"].to_numpy(np.int64)[o], st),
             "n_sing": np.add.reduceat(
-                g["sing"].to_numpy(np.int64)[o], st)})
+                g["sing"].to_numpy(np.int64)[o], st)}
 
     merged = spans.union(sing) \
         .map_batches(pb_col("doc_id"), batch_format="pyarrow") \

@@ -245,6 +245,58 @@ def test_fuzzy_longterm_width_cap(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [3, 17])
+def test_fuzzy_differential_mixed_cap_random(tmp_path, seed):
+    """Randomized differential over a vocabulary that MIXES in-matrix
+    and over-cap (>_FUZZY_WIDTH_CAP bytes) words: queries land on
+    mutations of both classes plus no-match strings, so every combination
+    of (DP hits, tail hits, neither, both) is exercised against the
+    brute force — broad coverage behind the targeted tail-scan test
+    above."""
+    rng = np.random.default_rng(seed)
+    letters = np.array(list("abcd"))
+
+    def word(n):
+        return "".join(rng.choice(letters, size=n))
+
+    short = [word(int(rng.integers(3, 9))) for _ in range(25)]
+    long_w = [word(int(rng.integers(49, 60))) for _ in range(4)]
+    vocab = list(dict.fromkeys(short + long_w))
+
+    def mutate(w, edits):
+        s = list(w)
+        for _ in range(edits):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, max(1, len(s))))
+            if op == 0 and len(s) > 1:
+                del s[pos]
+            elif op == 1:
+                s.insert(pos, str(rng.choice(letters)))
+            else:
+                s[pos] = str(rng.choice(letters))
+        return "".join(s)
+
+    corpus = [(" ".join(rng.choice(vocab, size=int(rng.integers(3, 10)))),)
+              for _ in range(60)]
+    eng = build_engine(tmp_path, corpus)
+    mat = eng.shards[0]._dict_matrix()[0]
+    assert mat.shape[1] <= eng.shards[0]._FUZZY_WIDTH_CAP
+
+    queries = (
+        [(mutate(str(rng.choice(short)), int(rng.integers(0, 3))), d)
+         for d in (1, 2) for _ in range(4)]
+        + [(mutate(str(rng.choice(long_w)), int(rng.integers(0, 3))), d)
+           for d in (1, 2) for _ in range(4)]
+        + [("zzzzzz", 2), (word(52).replace("a", "z"), 1)])
+    for q, d in queries:
+        got = eng.query(q, "bm25", fuzzy=d)
+        want = _brute_fuzzy(corpus, q, d)
+        assert len(got) == len(want), (q, d)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd and abs(gs - ws) < TOL, (q, d)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_phrase_null_text_rows(tmp_path):
     """Null text rows (incl. batch-trailing nulls, which used to break
     np.add.reduceat via repeated offsets) count as empty docs."""
