@@ -352,6 +352,13 @@ def main():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode = os.environ.get("GRAFT_BENCH_MODE", "full")
+    if "--scaling" in sys.argv:
+        # standalone scaling run: the same two-parallelism measurement
+        # the full harness embeds (fresh ray.init sessions at 8 and 32
+        # CPUs over the same corpus), as one JSON line
+        out = scaling_measurement()
+        print(json.dumps(out, separators=(",", ":")))
+        return out
 
     import ray
     import logging
