@@ -72,6 +72,11 @@ def _finalize_file(path: str, num_fields: int):
     frag = pads.dataset(path).to_table(filter=pads.field("term") == "")
     num_docs = 0
     sums = [0] * num_fields
+    # add-path stale-avg quirk inputs (src/index.rs:112-113: avg only
+    # updates inside the per-value loop): per field, the max doc_id
+    # with >=1 VALUE, plus the file's max doc_id; -1 = none
+    last_val_doc = [-1] * num_fields
+    doc_max = -1
     meta = None
     if len(frag):
         tables = []
@@ -79,12 +84,92 @@ def _finalize_file(path: str, num_fields: int):
             mt = read_docmeta_ipc(blob)
             tables.append(mt)
             num_docs += len(mt)
+            ids = mt["doc_id"].to_numpy()
+            if len(ids):
+                doc_max = max(doc_max, int(ids.max()))
             for fi in range(num_fields):
                 # corpus sums accumulate ALL values (tot), not the
                 # stored last-value field_length (src/index.rs:112-114)
                 sums[fi] += int(np.sum(mt[f"tot_{fi}"].to_numpy()))
+                col = f"hv_{fi}"
+                hv = mt[col].to_numpy().astype(bool) \
+                    if col in mt.column_names else \
+                    np.ones(len(ids), dtype=bool)
+                if hv.any():
+                    last_val_doc[fi] = max(last_val_doc[fi],
+                                           int(ids[hv].max()))
         meta = ray.put(pa.concat_tables(tables))
-    return rec, num_docs, sums, meta
+    return rec, num_docs, sums, meta, last_val_doc, doc_max
+
+
+def _count_docs_le(index_dir: str, doc_id: int) -> int:
+    """Count docs with id <= doc_id — one predicate-pushdown count over
+    the docmeta files (rare path: only needed when some field's last
+    doc-with-values is not the corpus max, i.e. trailing docs with
+    empty multi-value lists)."""
+    import glob as globmod
+
+    import pyarrow.dataset as pads
+    meta_dir = os.path.join(index_dir, "docmeta")
+    files = sorted(globmod.glob(os.path.join(meta_dir, "*.parquet")))
+    if not files:
+        return 0
+    return pads.dataset(files).count_rows(
+        filter=pads.field("doc_id") <= doc_id)
+
+
+def finalize_stats(index_dir: str, groups: dict, num_fields: int) -> None:
+    """Global stats from group partials, reproducing the reference's
+    add-path stale-avg quirk (src/index.rs:105-115): ``sum``
+    accumulates every value's kept-token count, but ``avg`` is only
+    assigned INSIDE the per-value loop — a doc whose accessor yields an
+    EMPTY value list does not update it.  So after a pure sequence of
+    adds, ``avg_f = sum_f / rank_f`` where ``rank_f`` is the 1-based
+    position (in doc_id order, the engine's insertion-order model) of
+    the last doc with >=1 value for field f — equal to N whenever the
+    max doc has values (every single-value string corpus, where even
+    empty text is one value), else a docmeta count.
+
+    The quirk path applies only when NO tombstones exist (fresh
+    builds, post-vacuum appends, clean merges) — there the whole
+    history is adds and the replay is exact.  With live tombstones the
+    true event order was adds → removes → appended adds, and the
+    reference's append re-updates ``avg = sum/N`` for every field the
+    new docs have values in (src/index.rs:112-113), so the aggregate
+    subtract + sum/N is exact unless the appended docs ALSO have
+    empty multi-value lists for a field — a corner of a corner where
+    sum/N is the documented approximation.  (The remove-stale quirk
+    when the LAST operation is a remove is handled incrementally by
+    ``Stats.apply_remove`` at remove time, never by a rebuild — a
+    resumed no-op build leaves stats.json untouched.)"""
+    total_docs = sum(rec["num_docs"] for rec in groups.values())
+    total_sums = np.zeros(num_fields, dtype=np.int64)
+    for rec in groups.values():
+        total_sums += np.asarray(rec["field_len_sums"], dtype=np.int64)
+    tomb_ids = Tombstones(index_dir).doc_ids
+    avgs = None
+    if tomb_ids:
+        from probly_search_ray.maintain import _docs_field_lengths
+        lens_by_doc = _docs_field_lengths(index_dir, tomb_ids)
+        for lens in lens_by_doc.values():
+            total_sums -= np.asarray(lens, dtype=np.int64)
+        total_docs -= len(lens_by_doc)
+    elif bool(groups) and all("field_last_val_doc" in rec
+                              and "doc_max" in rec
+                              for rec in groups.values()):
+        doc_max = max(rec["doc_max"] for rec in groups.values())
+        avgs = []
+        for f in range(num_fields):
+            m = max(rec["field_last_val_doc"][f] for rec in groups.values())
+            if m < 0:
+                avgs.append(0.0)  # FieldDetails::default() avg
+            elif m == doc_max:
+                avgs.append(total_sums[f] / total_docs if total_docs
+                            else 0.0)
+            else:
+                rank = _count_docs_le(index_dir, m)
+                avgs.append(total_sums[f] / rank if rank else 0.0)
+    Stats(index_dir).set_from_build(total_docs, list(total_sums), avgs)
 
 
 class _FusedEncoder:
@@ -276,16 +361,21 @@ def build_index(
         term_files = []
         num_docs = 0
         sums = np.zeros(len(field_cols), dtype=np.int64)
+        g_lvd = [-1] * len(field_cols)
+        g_dmax = -1
         meta_refs = []
         n_rows = 0
         n_bytes = 0
-        for f, (rec, nd, fsums, meta_ref) in zip(out_files, results):
+        for f, (rec, nd, fsums, meta_ref, lvd, dmax) in zip(out_files,
+                                                            results):
             rec["path"] = os.path.relpath(f, index_dir)
             term_files.append(rec)
             n_rows += rec["rows"]
             n_bytes += os.path.getsize(f)
             num_docs += nd
             sums += np.asarray(fsums, dtype=np.int64)
+            g_lvd = [max(a, b) for a, b in zip(g_lvd, lvd)]
+            g_dmax = max(g_dmax, dmax)
             if meta_ref is not None:
                 meta_refs.append(meta_ref)
         if meta_refs:
@@ -300,6 +390,8 @@ def build_index(
             "input_files": gfiles,
             "num_docs": int(num_docs),
             "field_len_sums": [int(s) for s in sums],
+            "field_last_val_doc": [int(v) for v in g_lvd],
+            "doc_max": int(g_dmax),
             "term_files": term_files,
             "term_rows": int(n_rows),
             "term_bytes": int(n_bytes),
@@ -309,29 +401,18 @@ def build_index(
             "docs_per_sec": round(num_docs / wall, 1) if wall > 0 else None,
         })
 
-    # --- global stats from group partials (reference avg = sum/N) -------
-    # Group partials include docs tombstoned since their group was built
-    # (only vacuum rewrites partials), so subtract those docs' counts and
-    # lengths or an append would resurrect them in N / sum / avg.  The
-    # aggregate (not a per-doc replay) is exact here because the append's
-    # final add_document recomputes avg = sum/N for every field in the
-    # reference (src/index.rs:112-113); the stale-avg remove quirk only
+    # --- global stats from group partials (reference replay) -------------
+    # The model is "all current docs added in doc_id order, then the
+    # tombstoned docs removed in tombstone order" — exact for every
+    # non-interleaved flow, incl. the add-path stale-avg quirk
+    # (src/index.rs:112-113: a trailing doc whose accessor yields an
+    # EMPTY value list leaves that field's avg stale) via the per-group
+    # field_last_val_doc/doc_max partials.  The remove-stale quirk only
     # survives when the last operation was a remove — which is why a
     # resumed no-op build leaves stats.json untouched.
     stats = Stats(index_dir)
     if built_any or not os.path.exists(stats.path):
-        total_docs = sum(rec["num_docs"] for rec in man.groups.values())
-        total_sums = np.zeros(len(field_cols), dtype=np.int64)
-        for rec in man.groups.values():
-            total_sums += np.asarray(rec["field_len_sums"], dtype=np.int64)
-        tomb_ids = Tombstones(index_dir).doc_ids
-        if tomb_ids:
-            from probly_search_ray.maintain import _docs_field_lengths
-            lens_by_doc = _docs_field_lengths(index_dir, tomb_ids)
-            for lens in lens_by_doc.values():
-                total_sums -= np.asarray(lens, dtype=np.int64)
-            total_docs -= len(lens_by_doc)
-        stats.set_from_build(total_docs, list(total_sums))
+        finalize_stats(index_dir, man.groups, len(field_cols))
     Tombstones(index_dir)  # touch
     if warm_cache:
         # pre-decode into the full-range mmap cache (one Ray task per

@@ -118,8 +118,10 @@ class _Compactor:
                 continue
             lens = [mt[f"len_{f}"].to_numpy()[keep] for f in range(self.nf)]
             tots = [mt[f"tot_{f}"].to_numpy()[keep] for f in range(self.nf)]
+            hvs = [mt[f"hv_{f}"].to_numpy()[keep] for f in range(self.nf)] \
+                if "hv_0" in mt.column_names else None
             keep_rows.append(i)
-            new_blobs.append(docmeta_ipc(ids[keep], lens, tots))
+            new_blobs.append(docmeta_ipc(ids[keep], lens, tots, hvs))
             new_df.append(int(keep.sum()))
             new_lo.append(int(ids[keep].min()))
             new_hi.append(int(ids[keep].max()))
@@ -296,6 +298,12 @@ def compact_groups(index_dir: str) -> int:
     first["field_len_sums"] = [
         sum(man.groups[g]["field_len_sums"][f] for g in gids)
         for f in range(nf)]
+    if all("field_last_val_doc" in man.groups[g] for g in gids):
+        first["field_last_val_doc"] = [
+            max(man.groups[g]["field_last_val_doc"][f] for g in gids)
+            for f in range(nf)]
+        first["doc_max"] = max(man.groups[g].get("doc_max", -1)
+                               for g in gids)
     first["compact_gen"] = gen
     first["compacted_from"] = gids
     updates[gids[0]] = first
@@ -304,6 +312,8 @@ def compact_groups(index_dir: str) -> int:
         rec["term_files"] = []
         rec["num_docs"] = 0
         rec["field_len_sums"] = [0] * nf
+        rec["field_last_val_doc"] = [-1] * nf
+        rec["doc_max"] = -1
         updates[g] = rec
     # new docmeta before the commit (duplicate rows across group files
     # are benign for readers; old files removed after the swap)
@@ -371,6 +381,8 @@ def vacuum(index_dir: str) -> None:
         meta_tables = []
         num_docs = 0
         sums = np.zeros(nf, dtype=np.int64)
+        lvd = [-1] * nf
+        doc_max = -1
         import pyarrow.dataset as pads
         for f in sorted(glob.glob(os.path.join(new_dir, "*.parquet"))):
             pf = pq.ParquetFile(f)
@@ -388,8 +400,16 @@ def vacuum(index_dir: str) -> None:
                 mt = read_docmeta_ipc(blob)
                 meta_tables.append(mt)
                 num_docs += len(mt)
+                ids = mt["doc_id"].to_numpy()
+                if len(ids):
+                    doc_max = max(doc_max, int(ids.max()))
                 for fi in range(nf):
                     sums[fi] += int(np.sum(mt[f"tot_{fi}"].to_numpy()))
+                    hv = mt[f"hv_{fi}"].to_numpy().astype(bool) \
+                        if f"hv_{fi}" in mt.column_names else \
+                        np.ones(len(ids), dtype=bool)
+                    if hv.any():
+                        lvd[fi] = max(lvd[fi], int(ids[hv].max()))
         meta_path = os.path.join(index_dir, "docmeta", f"group={gid}.parquet")
         if meta_tables:
             tmp = meta_path + ".tmp"
@@ -400,6 +420,8 @@ def vacuum(index_dir: str) -> None:
         rec["term_files"] = term_files
         rec["num_docs"] = int(num_docs)
         rec["field_len_sums"] = [int(s) for s in sums]
+        rec["field_last_val_doc"] = [int(v) for v in lvd]
+        rec["doc_max"] = int(doc_max)
         rec["vacuum_gen"] = gen
         man.commit_group(gid, rec)  # atomic: now points at new_dir
         for d in old_dirs:
@@ -565,18 +587,10 @@ def merge_indexes(source_dirs, dest_dir: str, compact: bool = False,
     man.commit_groups(records)  # ONE atomic write (config + all groups)
     Tombstones(dest_dir).add_many(tomb_ids)
 
-    # --- stats from group partials (same contract as build_index) -----
-    nf = cfg["num_fields"]
-    total_docs = sum(rec["num_docs"] for rec in records.values())
-    total_sums = np.zeros(nf, dtype=np.int64)
-    for rec in records.values():
-        total_sums += np.asarray(rec["field_len_sums"], dtype=np.int64)
-    if tomb_ids:
-        lens_by_doc = _docs_field_lengths(dest_dir, tomb_ids)
-        for lens in lens_by_doc.values():
-            total_sums -= np.asarray(lens, dtype=np.int64)
-        total_docs -= len(lens_by_doc)
-    Stats(dest_dir).set_from_build(total_docs, list(total_sums))
+    # --- stats from group partials (same contract as build_index,
+    # incl. the add-path stale-avg quirk + tombstone-order replay) -----
+    from probly_search_ray.build import finalize_stats
+    finalize_stats(dest_dir, records, cfg["num_fields"])
 
     if compact:
         compact_groups(dest_dir)  # distributed re-sort + cache rebuild

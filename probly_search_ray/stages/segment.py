@@ -63,18 +63,30 @@ def _grouped_arange(lengths: np.ndarray) -> np.ndarray:
 
 
 def docmeta_ipc(doc_ids: np.ndarray, lens: list[np.ndarray],
-                tots: list[np.ndarray] | None = None) -> bytes:
+                tots: list[np.ndarray] | None = None,
+                hvs: list[np.ndarray] | None = None) -> bytes:
     """Per-doc metadata: ``len_f`` is the reference's stored
     ``field_length`` (LAST value's kept-token count for multi-value
     fields, src/index.rs:114 — used for BM25 normalization and the
     remove-path stat subtraction); ``tot_f`` is the total kept-token
     count over all values (what ``fields[i].sum`` accumulates,
-    src/index.rs:112).  They coincide for single-value fields."""
+    src/index.rs:112).  They coincide for single-value fields.
+    ``hv_f`` records whether the doc's accessor yielded ≥1 VALUE for
+    the field (``vlen > 0`` — 1 for every doc of a single-value string
+    column, even empty text): the reference updates ``fields[i].avg``
+    only inside the per-value loop (src/index.rs:112-113), so a doc
+    with an EMPTY value list leaves avg stale — ``hv_f`` is what lets
+    the build finalize reproduce that stale avg exactly."""
     cols = {"doc_id": pa.array(doc_ids.astype(np.uint64), type=pa.uint64())}
     for f, ln in enumerate(lens):
         cols[f"len_{f}"] = pa.array(ln.astype(np.uint32), type=pa.uint32())
     for f, t in enumerate(tots if tots is not None else lens):
         cols[f"tot_{f}"] = pa.array(t.astype(np.uint32), type=pa.uint32())
+    nf = len(lens)
+    for f in range(nf):
+        hv = hvs[f] if hvs is not None else \
+            np.ones(len(doc_ids), dtype=np.uint8)
+        cols[f"hv_{f}"] = pa.array(hv.astype(np.uint8), type=pa.uint8())
     table = pa.table(cols)
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, table.schema) as w:
@@ -117,6 +129,7 @@ class SegmentEncoder:
         tok_doc_idx = []         # per field: int64 batch-row index per kept token
         lens = []                # per field: uint32[B] stored field_length
         tots = []                # per field: uint32[B] total kept tokens
+        hvs = []                 # per field: uint8[B] had ≥1 value
         for col_name in self.field_cols:
             col = batch[col_name]
             if isinstance(col, pa.ChunkedArray):
@@ -147,6 +160,7 @@ class SegmentEncoder:
                 lens.append(ln)
                 tots.append(np.bincount(didx, minlength=B)
                             .astype(np.uint32))
+                hvs.append(has.astype(np.uint8))
             else:
                 # treat nulls as empty text
                 if col.null_count:
@@ -163,6 +177,8 @@ class SegmentEncoder:
                 kept = np.bincount(didx, minlength=B).astype(np.uint32)
                 lens.append(kept)
                 tots.append(kept)
+                # single-value string accessor: always exactly one value
+                hvs.append(np.ones(B, dtype=np.uint8))
             tok_values.append(values)
             tok_doc_idx.append(didx)
 
@@ -170,7 +186,7 @@ class SegmentEncoder:
         all_didx = np.concatenate(tok_doc_idx) if tok_doc_idx else np.empty(0, np.int64)
         total_tokens = len(all_didx)
 
-        meta_blob = docmeta_ipc(doc_ids, lens, tots)
+        meta_blob = docmeta_ipc(doc_ids, lens, tots, hvs)
         meta_row = {
             "term": [""], "doc_lo": [int(doc_ids.min()) if B else 0],
             "doc_hi": [int(doc_ids.max()) if B else 0],

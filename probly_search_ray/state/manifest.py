@@ -101,12 +101,18 @@ class Stats:
     def field_avg(self, f: int) -> float:
         return self.data["fields"][f]["avg"]
 
-    def set_from_build(self, num_docs: int, sums: list[int]) -> None:
+    def set_from_build(self, num_docs: int, sums: list[int],
+                       avgs: list[float] | None = None) -> None:
+        """``avgs`` carries the reference's add-path stale-avg quirk
+        (src/index.rs:112-113, computed by ``build.finalize_stats``);
+        without it avg falls back to sum/N (exact whenever the max doc
+        has >=1 value per field — every single-value string corpus)."""
         self.data = {
             "num_docs": int(num_docs),
             "fields": [{"sum": int(s),
-                        "avg": (s / num_docs) if num_docs else 0.0}
-                       for s in sums],
+                        "avg": (avgs[f] if avgs is not None
+                                else (s / num_docs) if num_docs else 0.0)}
+                       for f, s in enumerate(sums)],
         }
         _atomic_write_json(self.path, self.data)
 

@@ -271,6 +271,62 @@ def test_multivalue_fields(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_multivalue_trailing_empty_avg_quirk(tmp_path):
+    """Add-path stale-avg quirk (src/index.rs:105-115): ``avg`` is only
+    assigned inside the per-value loop, so a TRAILING doc whose
+    accessor yields an EMPTY value list leaves that field's avg stale
+    at sum/(last-doc-with-values + 1), not sum/N.  Found by
+    tools/fuzz_multivalue.py (seed 40006); BM25 scores depend on avg,
+    so the engine must reproduce it exactly — including after a remove
+    of a doc that was empty in that field (fl==0 keeps the stale avg,
+    src/index.rs:160-191) and after vacuum."""
+    corpus = {
+        0: (["a b", "c"], ["x"]),       # values in both fields
+        1: ([], ["x y"]),               # f0: EMPTY list (no avg update)
+        2: ([""], ["x"]),               # f0: one EMPTY-STRING value —
+                                        # loop RUNS, avg updates, len 0
+        3: ([], []),                    # trailing: no values anywhere
+    }
+    path = write_multivalue_corpus(str(tmp_path), corpus)
+    idx = os.path.join(str(tmp_path), "index")
+    build_index(path, idx, key_col="doc_id", field_cols=["f0", "f1"],
+                batch_size=2, overwrite=True)
+    eng = SearchEngine(idx)
+    ref = RefIndex(2)
+    for d in sorted(corpus):
+        ref.add_document(list(corpus[d]), tok, d)
+    # f0: last doc with >=1 value is 2 → avg = 3/3, NOT 3/4
+    # f1: last doc with >=1 value is 2 → avg = 4/3, NOT 4/4
+    assert ref.fields[0].avg == 1.0 and abs(
+        ref.fields[1].avg - 4 / 3) < TOL  # the quirk is real
+    for f in range(2):
+        assert eng.stats.field_sum(f) == ref.fields[f].sum, f
+        assert abs(eng.stats.field_avg(f) - ref.fields[f].avg) < TOL, f
+    for q in ["a", "x", "a x", "c b"]:
+        assert_results(eng.query(q, "bm25"),
+                       ref.query(q, BM25(), tok, [1.0, 1.0]),
+                       f"mvq:{q!r}")
+    # remove doc 1 (empty in f0 → fl==0 keeps f0's stale avg; f1
+    # updates to sum/(N-1)); then vacuum must preserve the stats
+    from probly_search_ray.maintain import remove_document, vacuum
+    remove_document(idx, 1)
+    ref.remove_document(1)
+    eng2 = SearchEngine(idx)
+    for f in range(2):
+        assert eng2.stats.field_sum(f) == ref.fields[f].sum, f
+        assert abs(eng2.stats.field_avg(f) - ref.fields[f].avg) < TOL, f
+    vacuum(idx)
+    ref.vacuum()
+    eng3 = SearchEngine(idx)
+    for f in range(2):
+        assert abs(eng3.stats.field_avg(f) - ref.fields[f].avg) < TOL, f
+    for q in ["a", "x", "a x"]:
+        assert_results(eng3.query(q, "bm25"),
+                       ref.query(q, BM25(), tok, [1.0, 1.0]),
+                       f"mvvac:{q!r}")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_actor_pool_query(tmp_path):
     corpus = DOCS2
     items = list(corpus.items())
