@@ -35,7 +35,7 @@ import numpy as np
 
 # bump when the posting-block layout changes; stored in the manifest and
 # checked at load so a stale index is rebuilt, not misread
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4  # v4: term-file first_pos split into doc + first_off
 
 _POW7 = [np.uint64(1) << np.uint64(7 * k) for k in range(10)]
 

@@ -134,6 +134,7 @@ class _Compactor:
             "doc_hi": pa.array(new_hi, type=pa.uint64()),
             "df": pa.array(new_df, type=pa.uint64()),
             "first_pos": sub["first_pos"],
+            "first_off": sub["first_off"],
             "blob": pa.array(new_blobs, type=pa.large_binary()),
         }, schema=SEGMENT_SCHEMA)
 
@@ -163,7 +164,16 @@ class _Compactor:
         keep = ~_in_sorted(docs, self.tomb)
         row_idx = np.repeat(np.arange(nrows, dtype=np.int64), row_counts)
         cnt = np.bincount(row_idx[keep], minlength=nrows).astype(np.int64)
-        keep_rows = cnt > 0          # empty rows pruned (src/index.rs:216-239)
+        # rows whose postings ALL died are kept as df-0 rows with an
+        # empty blob: they carry the term's (first_pos, first_off)
+        # creation-order witness, which the reference's vacuum preserves
+        # (node uids survive, src/index.rs:193-241) — dropping the row
+        # would re-derive expansion order from the SURVIVING occurrences
+        # and reorder trie siblings.  df-0 terms are filtered out of
+        # expansion lists (count_documents == 0 semantics), so fully
+        # pruned subtrees still vanish from results exactly as the
+        # reference's node pruning does.
+        keep_rows = cnt > 0
         docs_k = docs[keep]
         tfs_k = [t[keep].astype(np.uint64) for t in tfs]
         lens_k = [l[keep].astype(np.uint64) for l in lens]
@@ -193,14 +203,28 @@ class _Compactor:
         for t in tfs_k:
             occ += t
         new_df = np.add.reduceat(occ, rs) if nsurv else np.empty(0, np.uint64)
-        sub = post_tbl.filter(pa.array(keep_rows))
+        # expand the surviving-row results back over ALL rows: dead rows
+        # keep their original term/first_pos/first_off (and doc range,
+        # inert at df 0) with an empty blob
+        blobs_all: list[bytes] = [b""] * nrows
+        df_all = np.zeros(nrows, dtype=np.uint64)
+        lo_all = post_tbl["doc_lo"].to_numpy().copy()
+        hi_all = post_tbl["doc_hi"].to_numpy().copy()
+        ki = np.flatnonzero(keep_rows)
+        for j, i in enumerate(ki):
+            blobs_all[int(i)] = new_blobs[j]
+        df_all[ki] = new_df
+        if nsurv:
+            lo_all[ki] = docs_k[rs]
+            hi_all[ki] = docs_k[np.cumsum(c) - 1]
         out = pa.table({
-            "term": sub["term"],
-            "doc_lo": pa.array(docs_k[rs], type=pa.uint64()),
-            "doc_hi": pa.array(docs_k[np.cumsum(c) - 1], type=pa.uint64()),
-            "df": pa.array(new_df, type=pa.uint64()),
-            "first_pos": sub["first_pos"],
-            "blob": pa.array(new_blobs, type=pa.large_binary()),
+            "term": post_tbl["term"],
+            "doc_lo": pa.array(lo_all, type=pa.uint64()),
+            "doc_hi": pa.array(hi_all, type=pa.uint64()),
+            "df": pa.array(df_all, type=pa.uint64()),
+            "first_pos": post_tbl["first_pos"],
+            "first_off": post_tbl["first_off"],
+            "blob": pa.array(blobs_all, type=pa.large_binary()),
         }, schema=SEGMENT_SCHEMA)
         if meta_out is not None:
             out = pa.concat_tables([meta_out, out])

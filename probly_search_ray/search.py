@@ -228,7 +228,8 @@ class ShardData:
             if term_hi is not None:
                 flt = flt & (pads.field("term") < term_hi)
             t = pads.dataset(path).to_table(
-                filter=flt, columns=["term", "doc_lo", "df", "first_pos", "blob"])
+                filter=flt, columns=["term", "doc_lo", "df", "first_pos",
+                         "first_off", "blob"])
             if len(t):
                 from probly_search_ray.stages.segment import SEGMENT_SCHEMA
                 want = pa.schema([SEGMENT_SCHEMA.field(n)
@@ -239,6 +240,7 @@ class ShardData:
         self.terms: list[str] = []
         self.df: np.ndarray = np.empty(0, np.int64)
         self.first_pos: np.ndarray = np.empty(0, np.uint64)
+        self.first_off: np.ndarray = np.empty(0, np.uint32)
         self.post_off: np.ndarray = np.zeros(1, np.int64)
         self.p_docs: np.ndarray = np.empty(0, np.uint64)
         self.p_tf: list[np.ndarray] = [np.empty(0, np.uint32)] * F
@@ -271,7 +273,7 @@ class ShardData:
         import json as _json
         from probly_search_ray.functions.codec import FORMAT_VERSION
         sig_src = _json.dumps([
-            3,  # cache layout version (v3: + per-term Pareto frontiers)
+            4,  # cache layout version (v4: v3 + first_pos doc/off split)
             FORMAT_VERSION,
             [(r["group"], r["path"], r["rows"]) for r in man.term_files()],
         ], sort_keys=True)
@@ -279,11 +281,13 @@ class ShardData:
         rng = hashlib.md5(repr((term_lo, term_hi)).encode()).hexdigest()[:8]
         return os.path.join(index_dir, "cache", f"csr-{rng}-{sig}")
 
-    _CACHE_ARRAYS = ("df", "first_pos", "post_off", "p_docs")
+    _CACHE_ARRAYS = ("df", "first_pos", "first_off", "post_off",
+                     "p_docs")
 
     def _write_cache(self, cdir: str) -> None:
         _write_cache_arrays(cdir, self.num_fields, self.terms, self.df,
-                            self.first_pos, self.post_off, self.p_docs,
+                            self.first_pos, self.first_off,
+                            self.post_off, self.p_docs,
                             self.p_tf, self.p_len, self.tf_max,
                             self.len_min, self.fr)
 
@@ -310,6 +314,7 @@ class ShardData:
             self.terms = terms
             self.df = np.array(self.df)
             self.first_pos = np.array(self.first_pos)
+            self.first_off = np.array(self.first_off)
             self.tf_max = [np.load(os.path.join(cdir, f"tf_max_{f}.npy"))
                            for f in range(self.num_fields)]
             self.len_min = [np.load(os.path.join(cdir, f"len_min_{f}.npy"))
@@ -331,6 +336,7 @@ class ShardData:
                 self.terms = terms[i0:i1]
                 self.df = self.df[i0:i1]
                 self.first_pos = self.first_pos[i0:i1]
+                self.first_off = self.first_off[i0:i1]
                 self.tf_max = [t[i0:i1] for t in self.tf_max]
                 self.len_min = [l[i0:i1] for l in self.len_min]
                 fr = {}
@@ -410,8 +416,18 @@ class ShardData:
         # (#rounds = max blocks per row, small by construction)
         v_row = np.searchsorted(v_starts, row_byte_start)
         v_row_end = np.concatenate((v_row[1:], [nvals]))
-        act_v, act_row, act_end = (v_row, np.arange(nrows, dtype=np.int64),
-                                   v_row_end)
+        # zero-byte rows (df-0 creation-order witnesses kept by vacuum)
+        # own no values — drop them before the first header round or
+        # they would misread the NEXT row's block header
+        alive = v_row < v_row_end
+        act_v, act_row, act_end = (v_row[alive],
+                                   np.arange(nrows, dtype=np.int64)[alive],
+                                   v_row_end[alive])
+        if not act_v.size:
+            return (np.empty(0, np.uint64),
+                    [np.empty(0, np.uint32)] * F,
+                    [np.empty(0, np.uint32)] * F,
+                    np.zeros(nrows, dtype=np.int64))
         bv_parts, bn_parts, brow_parts = [], [], []
         while act_v.size:
             n = vals[act_v].astype(np.int64)
@@ -483,8 +499,17 @@ class ShardData:
         self.terms = term_col.take(pa.array(row_ts)).to_pylist()
         dfs = full["df"].to_numpy().astype(np.int64)
         fps = full["first_pos"].to_numpy()
+        fos = full["first_off"].to_numpy()
         self.df = np.add.reduceat(dfs, row_ts)
+        # per-term first occurrence across files/batches: lexicographic
+        # min of (doc, off) pairs — rows within a term run come from
+        # multiple groups, so the run is not necessarily doc-ascending
         self.first_pos = np.minimum.reduceat(fps, row_ts)
+        run_lens = np.diff(np.concatenate((row_ts, [len(fps)])))
+        at_min = fps == np.repeat(self.first_pos, run_lens)
+        fo_masked = np.where(at_min, fos, np.uint32(0xFFFFFFFF))
+        self.first_off = np.minimum.reduceat(fo_masked, row_ts) \
+            .astype(np.uint32)
         term_counts = np.add.reduceat(row_counts, row_ts)
         self.post_off = np.concatenate(
             ([0], np.cumsum(term_counts))).astype(np.int64)
@@ -520,11 +545,34 @@ class ShardData:
                             np.empty(0, np.uint32))
                        for ch in _frontier_channels(F)}
             return
-        self.tf_max = [np.maximum.reduceat(self.p_tf[f], seg)
-                       .astype(np.uint32) for f in range(F)]
-        self.len_min = [np.minimum.reduceat(self.p_len[f], seg)
-                        .astype(np.uint32) for f in range(F)]
         seg_n = np.diff(self.post_off)
+        if (seg_n == 0).any():
+            # zero-posting terms (df-0 vacuum witnesses): reduceat on a
+            # zero-length segment misreads the neighbour (or walks off
+            # the end), so clip the offsets and zero the results
+            np_total = int(self.post_off[-1])
+            segc = np.minimum(seg, max(np_total - 1, 0))
+            empty = seg_n == 0
+            self.tf_max = []
+            self.len_min = []
+            for f in range(F):
+                if np_total:
+                    tm = np.maximum.reduceat(self.p_tf[f], segc) \
+                        .astype(np.uint32)
+                    lm = np.minimum.reduceat(self.p_len[f], segc) \
+                        .astype(np.uint32)
+                else:
+                    tm = np.zeros(nt, np.uint32)
+                    lm = np.zeros(nt, np.uint32)
+                tm[empty] = 0
+                lm[empty] = 0
+                self.tf_max.append(tm)
+                self.len_min.append(lm)
+        else:
+            self.tf_max = [np.maximum.reduceat(self.p_tf[f], seg)
+                           .astype(np.uint32) for f in range(F)]
+            self.len_min = [np.minimum.reduceat(self.p_len[f], seg)
+                            .astype(np.uint32) for f in range(F)]
         tid = np.repeat(np.arange(nt, dtype=np.int64), seg_n)
         support = np.zeros(len(tid), dtype=np.int64)
         for f in range(F):
@@ -554,6 +602,10 @@ class ShardData:
         ti = np.asarray(term_idx, np.int64)
         present = ti >= 0
         ic = np.where(present, ti, 0)
+        if not len(self.terms):
+            # empty shard: off[ic + 1] below would index past the
+            # single-element offsets array even with present all-False
+            return np.zeros(len(ti), dtype=np.float64)
         per_mask: dict[int, np.ndarray] = {}
         for (m, f), (off, ftf, fln) in self.fr.items():
             bb = fields_boost[f]
@@ -613,6 +665,13 @@ class ShardData:
             del chunks
         return total
 
+    def _fp(self, i: int) -> int:
+        """Reference insertion-stream position of term i's first
+        occurrence, as an arbitrary-precision Python int — exact for
+        full-range uint64 doc ids (a packed uint64 would wrap)."""
+        from probly_search_ray.stages.segment import POS_BITS
+        return (int(self.first_pos[i]) << POS_BITS) | int(self.first_off[i])
+
     # -- dictionary --------------------------------------------------------
 
     def expand(self, prefix: str) -> list[tuple[str, int, int]]:
@@ -622,7 +681,7 @@ class ShardData:
         i = bisect.bisect_left(self.terms, prefix)
         out = []
         while i < len(self.terms) and self.terms[i].startswith(prefix):
-            out.append((self.terms[i], int(self.df[i]), int(self.first_pos[i])))
+            out.append((self.terms[i], int(self.df[i]), self._fp(i)))
             i += 1
         return out
 
@@ -635,7 +694,7 @@ class ShardData:
         i1 = i0
         while i1 < len(self.terms) and self.terms[i1].startswith(prefix):
             i1 += 1
-        exp = [(self.terms[i], int(self.df[i]), int(self.first_pos[i]))
+        exp = [(self.terms[i], int(self.df[i]), self._fp(i))
                for i in range(i0, i1)]
         F = self.num_fields
         if i1 == i0:
@@ -699,7 +758,7 @@ class ShardData:
                 if abs(len(t.encode()) - len(qb)) <= d \
                         and _levenshtein_capped(qb, t.encode(), d) <= d:
                     tail_hits.append((t, int(self.df[i]),
-                                      int(self.first_pos[i])))
+                                      self._fp(i)))
         cand = np.flatnonzero(np.abs(lens - len(q)) <= d)
         if not len(cand):
             return tail_hits
@@ -734,7 +793,7 @@ class ShardData:
         dist = prev[np.arange(len(alive)), sl[alive]]
         hit = alive[dist <= d]
         out = [(self.terms[short[i]], int(self.df[short[i]]),
-                int(self.first_pos[short[i]]))
+                self._fp(int(short[i])))
                for i in cand[hit]]
         return out + tail_hits
 
@@ -1011,6 +1070,10 @@ class ShardData:
         F = self.num_fields
         tfm = np.zeros((len(terms), F), dtype=np.float64)
         lmn = np.zeros((len(terms), F), dtype=np.float64)
+        if not len(self.terms):
+            # empty shard (e.g. a vacuumed-empty term range): np.where
+            # evaluates arr[ic] eagerly, so size-0 arrays need the guard
+            return np.zeros(len(terms), dtype=bool), tfm, lmn
         for f in range(F):
             tfm[:, f] = np.where(present, self.tf_max[f][ic], 0)
             lmn[:, f] = np.where(present, self.len_min[f][ic], 0)
@@ -1055,6 +1118,7 @@ class ShardData:
 
 
 def _write_cache_arrays(cdir: str, num_fields: int, terms, df, first_pos,
+                        first_off,
                         post_off, p_docs, p_tf, p_len, tf_max,
                         len_min, fr) -> None:
     """Persist decoded-CSR arrays as the mmap cache dir (atomic rename;
@@ -1071,7 +1135,8 @@ def _write_cache_arrays(cdir: str, num_fields: int, terms, df, first_pos,
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
         tmp = tempfile.mkdtemp(dir=parent)
         for name, arr in zip(ShardData._CACHE_ARRAYS,
-                             (df, first_pos, post_off, p_docs)):
+                             (df, first_pos, first_off, post_off,
+                              p_docs)):
             np.save(os.path.join(tmp, name + ".npy"), arr)
         for f in range(num_fields):
             np.save(os.path.join(tmp, f"p_tf_{f}.npy"), p_tf[f])
@@ -1105,7 +1170,8 @@ def _decode_term_file(path: str, F: int):
     tune_allocator()
     t = pads.dataset(path).to_table(
         filter=pads.field("term") != "",
-        columns=["term", "doc_lo", "df", "first_pos", "blob"])
+        columns=["term", "doc_lo", "df", "first_pos",
+                         "first_off", "blob"])
     if not len(t):
         return None
     want = pa.schema([SEGMENT_SCHEMA.field(n) for n in t.column_names])
@@ -1113,16 +1179,19 @@ def _decode_term_file(path: str, F: int):
     sd.num_fields = F
     sd._load_csr(t.cast(want), F)  # file rows are (term, doc_lo)-sorted
     cnt = np.diff(sd.post_off)
-    doc_lo = sd.p_docs[sd.post_off[:-1]] if len(cnt) else \
-        np.empty(0, np.uint64)
-    doc_hi = sd.p_docs[sd.post_off[1:] - 1] if len(cnt) else \
-        np.empty(0, np.uint64)
+    # zero-posting terms (df-0 vacuum witnesses) own no doc range
+    doc_lo = np.zeros(len(cnt), np.uint64)
+    doc_hi = np.zeros(len(cnt), np.uint64)
+    nz = cnt > 0
+    if nz.any():
+        doc_lo[nz] = sd.p_docs[sd.post_off[:-1][nz]]
+        doc_hi[nz] = sd.p_docs[(sd.post_off[1:] - 1)[nz]]
     big = ray.put((sd.p_docs, sd.p_tf, sd.p_len))
     # per-part Pareto frontier CANDIDATES (already computed by
     # _compute_bounds inside _load_csr): dictionary-scale, returned
     # inline; the driver re-filters the per-term union across parts
     return (sd.terms, sd.df, sd.first_pos, cnt, sd.tf_max, sd.len_min,
-            doc_lo, doc_hi, big, sd.fr)
+            doc_lo, doc_hi, big, sd.fr, sd.first_off)
 
 
 def _write_cache_slices(tmp_dir: str, F: int, big, dest_starts,
@@ -1206,6 +1275,7 @@ def build_csr_cache(index_dir: str) -> bool:
     nrows = len(terms)
     df = np.concatenate([p[1] for p, _ in parts])
     fp = np.concatenate([p[2] for p, _ in parts])
+    fo = np.concatenate([p[10] for p, _ in parts])
     cnt = np.concatenate([p[3] for p, _ in parts])
     tfm = [np.concatenate([p[4][f] for p, _ in parts]) for f in range(F)]
     lmn = [np.concatenate([p[5][f] for p, _ in parts]) for f in range(F)]
@@ -1229,6 +1299,10 @@ def build_csr_cache(index_dir: str) -> bool:
     terms_m = [str(t) for t in t_o[runs]]
     df_m = np.add.reduceat(df[order], runs)
     fp_m = np.minimum.reduceat(fp[order], runs)
+    run_l = np.diff(np.concatenate((runs, [nrows])))
+    fo_o = np.where(fp[order] == np.repeat(fp_m, run_l),
+                    fo[order], np.uint32(0xFFFFFFFF))
+    fo_m = np.minimum.reduceat(fo_o, runs).astype(np.uint32)
     cnt_m = np.add.reduceat(cnt_o, runs)
     tfm_m = [np.maximum.reduceat(t[order], runs).astype(np.uint32)
              for t in tfm]
@@ -1289,6 +1363,7 @@ def build_csr_cache(index_dir: str) -> bool:
         ray.get(futs)
         np.save(os.path.join(tmp, "df.npy"), df_m)
         np.save(os.path.join(tmp, "first_pos.npy"), fp_m)
+        np.save(os.path.join(tmp, "first_off.npy"), fo_m)
         np.save(os.path.join(tmp, "post_off.npy"), post_off)
         for f in range(F):
             np.save(os.path.join(tmp, f"tf_max_{f}.npy"), tfm_m[f])
@@ -1683,7 +1758,8 @@ class SearchEngine:
         whose range can hold the prefix; the per-shard range scan is
         the same one prefix expansion uses."""
         ordered, df_map = self._expansions_for(prefix, expand=True)
-        ranked = sorted(df_map.items(), key=lambda x: (-x[1], x[0]))
+        ranked = sorted(((t, d) for t, d in df_map.items() if d > 0),
+                        key=lambda x: (-x[1], x[0]))
         return [(t, int(d)) for t, d in ranked[:k]]
 
     def _excluded_docs(self, excl_terms, expand, fuzzy=0) -> np.ndarray:

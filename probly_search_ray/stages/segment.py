@@ -19,17 +19,20 @@ Semantics preserved exactly (validated by differential tests):
 - occurrence-counted df: ``df = sum(occ)`` where ``occ`` is the number
   of postings the reference would have created — one per occurrence
   (``src/index.rs:119-157``, ``src/index.rs:281-297``)
-- ``first_pos`` = global position of the term's first occurrence in the
+- ``(first_pos, first_off)`` = the term's first occurrence in the
   reference's insertion stream (docs in ascending doc_id order, fields
-  in order, tokens in order) — used to reconstruct the reference's
-  trie-DFS expansion order at query time (``src/query.rs:130-147``).
+  in order, tokens in order): the doc id and the capped (< 2^20)
+  within-doc offset — used to reconstruct the reference's trie-DFS
+  expansion order at query time (``src/query.rs:130-147``).
 
 Scale notes: stateless w.r.t. the corpus (safe task retries); vocab and
 postings per batch bounded by batch size; no Python loop over rows —
 the per-batch work is numpy/Arrow kernels plus one vectorized varint
-pass.  ``first_pos`` packs ``doc_id * 2^20 + min(pos, 2^20-1)``: doc
-ids up to 2^44 and per-doc positions up to ~1M keep exact reference
-ordering; beyond that ties break deterministically (term asc).
+pass.  The occurrence key is the (doc_id, offset) PAIR, combined into
+an arbitrary-precision Python int only at expansion time: a packed
+``doc_id << 20 | pos`` uint64 wraps for doc ids >= 2^44 (hashed string
+keys are full-range) and the wrap scrambles cross-doc order; per-doc
+positions past 2^20-1 cap and tie-break deterministically (term asc).
 """
 
 from __future__ import annotations
@@ -49,6 +52,7 @@ SEGMENT_SCHEMA = pa.schema([
     ("doc_hi", pa.uint64()),
     ("df", pa.uint64()),
     ("first_pos", pa.uint64()),
+    ("first_off", pa.uint32()),
     ("blob", pa.large_binary()),
 ])
 
@@ -190,7 +194,8 @@ class SegmentEncoder:
         meta_row = {
             "term": [""], "doc_lo": [int(doc_ids.min()) if B else 0],
             "doc_hi": [int(doc_ids.max()) if B else 0],
-            "df": [B], "first_pos": [0], "blob": [meta_blob],
+            "df": [B], "first_pos": [0], "first_off": [0],
+            "blob": [meta_blob],
         }
         if total_tokens == 0:
             return pa.table(meta_row, schema=SEGMENT_SCHEMA)
@@ -206,8 +211,12 @@ class SegmentEncoder:
         # positions back in field-major order:
         pos_field_major = np.empty(total_tokens, dtype=np.int64)
         pos_field_major[stream_order] = pos_in_doc
-        gpos = (doc_ids[all_didx] << np.uint64(POS_BITS)) | \
-            np.minimum(pos_field_major, POS_MASK).astype(np.uint64)
+        # the occurrence-order key is the PAIR (doc_id, capped pos) —
+        # kept as two columns because the packed doc_id<<20|pos single
+        # uint64 wraps for doc ids >= 2^44 (hashed string keys are
+        # full-range uint64) and the wrap scrambles the cross-doc order
+        # that trie_expansion_order reconstructs
+        pos_cap = np.minimum(pos_field_major, POS_MASK).astype(np.uint32)
 
         # --- vocabulary + per-(doc, term) aggregation --------------------
         dict_arr = all_values.dictionary_encode()
@@ -216,15 +225,16 @@ class SegmentEncoder:
         V = len(vocab)
         combined = all_didx * V + codes
 
-        # occ + first_pos per (doc, term): sort by combined; stable keeps
-        # occurrence order within each key (after sorting gpos by stream).
-        order = np.lexsort((gpos, combined))
+        # occ + first offset per (doc, term): sort by combined; within a
+        # (doc, term) group the doc is constant, so ordering by pos_cap
+        # alone yields the first-occurrence offset.
+        order = np.lexsort((pos_cap, combined))
         comb_sorted = combined[order]
         run_start = np.flatnonzero(
             np.concatenate(([True], comb_sorted[1:] != comb_sorted[:-1])))
         keys = comb_sorted[run_start]
         occ = np.diff(np.concatenate((run_start, [len(comb_sorted)]))).astype(np.uint64)
-        first_pos_key = gpos[order][run_start]
+        first_off_key = pos_cap[order][run_start]
 
         key_doc = (keys // V).astype(np.int64)
         key_code = (keys % V).astype(np.int64)
@@ -251,7 +261,7 @@ class SegmentEncoder:
         rank_s = rank[row_order]
         doc_s = doc_ids[key_doc[row_order]]
         occ_s = occ[row_order]
-        fp_s = first_pos_key[row_order]
+        fo_s = first_off_key[row_order]
         tfs_s = [t[row_order] for t in tfs]
         lens_s = [lens[f][key_doc[row_order]].astype(np.uint64) for f in range(F)]
 
@@ -282,7 +292,17 @@ class SegmentEncoder:
 
         term_per_row = vocab.take(pa.array(key_code[row_order][term_start]))
         df_per_term = np.add.reduceat(occ_s, term_start)
-        fp_per_term = np.minimum.reduceat(fp_s, term_start)
+        # per-term first occurrence = lexicographic min of (doc, off)
+        # pairs across the run.  Rows are ordered by BATCH ROW index
+        # (insertion-stream order) — for hashed string keys that is NOT
+        # doc-ascending, so a true pair-min is required, not the first
+        # row.
+        fp_doc = np.minimum.reduceat(doc_s, term_start)
+        at_min = doc_s == np.repeat(fp_doc, term_lens)
+        fo_masked = np.where(at_min, fo_s.astype(np.uint32),
+                             np.uint32(0xFFFFFFFF))
+        fp_off = np.minimum.reduceat(fo_masked, term_start) \
+            .astype(np.uint32)
         doc_lo = doc_s[term_start]
         doc_hi = doc_s[term_end - 1]
 
@@ -291,7 +311,8 @@ class SegmentEncoder:
             "doc_lo": pa.array(doc_lo, type=pa.uint64()),
             "doc_hi": pa.array(doc_hi, type=pa.uint64()),
             "df": pa.array(df_per_term.astype(np.uint64), type=pa.uint64()),
-            "first_pos": pa.array(fp_per_term, type=pa.uint64()),
+            "first_pos": pa.array(fp_doc, type=pa.uint64()),
+            "first_off": pa.array(fp_off, type=pa.uint32()),
             "blob": pa.array(blobs, type=pa.large_binary()),
         }, schema=SEGMENT_SCHEMA)
         meta = pa.table(meta_row, schema=SEGMENT_SCHEMA)

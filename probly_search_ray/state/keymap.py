@@ -94,19 +94,26 @@ def check_collisions(index_dir: str, key_col: str) -> pd.DataFrame:
         keys = b[key_col].to_numpy(zero_copy_only=False)
         h2 = pd.util.hash_array(np.asarray(keys, dtype=object),
                                 hash_key="psr_keymap_ln_02")
-        return pa.table({"doc_id": b["doc_id"],
+        # group on an int64 VIEW of the uint64 hash id: Ray's sort
+        # shuffle materializes boundary key lists as Python ints, and
+        # ids past 2^63 overflow its native int64 Arrow conversion
+        # (it falls back, but logs a scary worker traceback per block);
+        # any consistent total order works for grouping
+        did = b["doc_id"].to_numpy().view(np.int64)
+        return pa.table({"doc_id_i64": pa.array(did),
                          "h2": pa.array(h2.view(np.int64))})
 
     agg = read_parquet_clean(files) \
         .map_batches(add_h2, batch_format="pyarrow") \
-        .groupby("doc_id") \
+        .groupby("doc_id_i64") \
         .aggregate(Min("h2", alias_name="h2_min"),
                    Max("h2", alias_name="h2_max"))
 
     def suspects(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        return b.filter(pc.not_equal(b["h2_min"], b["h2_max"])) \
-                .select(["doc_id"])
+        bad_rows = b.filter(pc.not_equal(b["h2_min"], b["h2_max"]))
+        ids = bad_rows["doc_id_i64"].to_numpy().view(np.uint64)
+        return pa.table({"doc_id": pa.array(ids, type=pa.uint64())})
 
     bad = agg.map_batches(suspects, batch_format="pyarrow").to_pandas()
     if not len(bad):
