@@ -700,3 +700,72 @@ def test_frontier_bounds(tmp_path, seed, nfields):
     # absent term bounds to 0
     assert raw.frontier_ub(np.array([-1]), [1.0], [1.0] * nfields,
                            [3.0] * nfields, 1.2, 0.75)[0] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fullrange_doc_ids_expansion_order(tmp_path):
+    """Full-range uint64 doc ids (the hashed string-key shape): the
+    trie-creation-order reconstruction must not depend on a packed
+    ``doc_id << 20 | pos`` key, which WRAPS past 2^44 and scrambles
+    cross-doc order.  Wrong expansion order is invisible to
+    single-term queries (pure per-doc max) but changes multi- and
+    repeated-term scores (``prev + s_first`` depends on which
+    expansion first visits a doc).  Distilled from
+    tools/fuzz_stringkeys.py seeds 60004/60008."""
+    rng = np.random.default_rng(44)
+    vocab = np.array(["ko", "kor", "korr", "kox", "koxy", "ko本", "ab",
+                      "abx", "the,"])
+    n = 50
+    # random full-range ids, NON-ascending in file order
+    ids = rng.integers(1, 2**63, size=n, dtype=np.uint64) | \
+        np.uint64(1 << 63)
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 9))))
+             for _ in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.uint64()),
+        "f0": pa.array(texts, type=pa.string()),
+    }), str(tmp_path / "docs.parquet"))
+    idx = os.path.join(str(tmp_path), "index")
+    build_index(str(tmp_path / "docs.parquet"), idx, key_col="doc_id",
+                field_cols=["f0"], batch_size=7, overwrite=True)
+    ref = RefIndex(1)
+    for i in np.argsort(ids):  # insertion order = ascending doc id
+        ref.add_document([texts[i]], tok, int(ids[i]))
+    eng = SearchEngine(idx)
+    # expansion order must equal the reference trie DFS exactly
+    assert eng._expansions_for("ko", True, 0)[0] == ref.expand_term("ko")
+    for q in ["ko ko", "ko ab ko", "k a", "kox the, kox"]:
+        assert_results(eng.query(q, "bm25"),
+                       ref.query(q, BM25(), tok, [1.0]), f"huge:{q!r}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vacuum_preserves_expansion_order(tmp_path):
+    """The reference's vacuum keeps node uids, so trie sibling
+    creation order survives even when the occurrence that CREATED a
+    node is removed.  The engine must keep a df-0 order-witness row
+    for a term row whose postings all died, or post-vacuum expansion
+    order re-derives from surviving occurrences and repeated-term
+    scores drift.  Distilled from tools/fuzz_stringkeys.py seed
+    61005."""
+    from probly_search_ray.maintain import remove_document, vacuum
+    # doc 0 creates 'kal' (and thus node 'l' under 'ka'); doc 1
+    # creates 'kaz'; 'kal' also occurs in doc 2 so it survives the
+    # removal of doc 0 — but its creation witness is doc 0
+    corpus = {0: ("kal x",), 1: ("kaz kal x",), 2: ("kal kaz ka",),
+              3: ("ka x kaz",), 4: ("x ka kal",)}
+    eng = build_engine(tmp_path, corpus, batch_size=2)
+    ref = RefIndex(1)
+    for d in sorted(corpus):
+        ref.add_document(list(corpus[d]), tok, d)
+    remove_document(eng.index_dir, 0)
+    ref.remove_document(0)
+    vacuum(eng.index_dir)
+    ref.vacuum()
+    eng = SearchEngine(eng.index_dir)
+    assert eng._expansions_for("ka", True, 0)[0] == ref.expand_term("ka")
+    for q in ["ka ka", "ka kal ka", "k kaz k"]:
+        assert_results(eng.query(q, "bm25"),
+                       ref.query(q, BM25(), tok, [1.0]), f"vac:{q!r}")
+        assert_results(eng.query(q, "zero_to_one"),
+                       ref.query(q, ZeroToOne(), tok, [1.0]), f"vacz:{q!r}")
