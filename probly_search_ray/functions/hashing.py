@@ -43,7 +43,13 @@ def hash_tokens_u64(tokens: np.ndarray) -> np.ndarray:
     """Deterministic 64-bit hash per token string (vectorized FNV-1a
     over a fixed-width byte view; exact on tokens ≤ 16 bytes, still
     deterministic and well-mixed beyond)."""
-    # pad/truncate to 16 bytes and run 2 fnv rounds on uint64 views
+    # pad/truncate to 16 bytes and run 2 fnv rounds on uint64 views.
+    # Object arrays (Arrow string -> to_numpy) must go through utf-8
+    # too: a bare astype("S16") encodes with the ASCII codec and
+    # raises on the first non-ASCII token.  ASCII tokens hash
+    # identically on either path (same bytes).
+    if tokens.dtype.kind == "O":
+        tokens = tokens.astype(np.str_)
     if tokens.dtype.kind == "U":
         tokens = np.char.encode(tokens, "utf-8")
     as_bytes = tokens.astype("S16")

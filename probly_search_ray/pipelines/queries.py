@@ -1473,7 +1473,10 @@ def events_sliding(sf_dir: str):
         codes = d.indices.to_numpy().astype(np.int64)
         val = b["value"].to_numpy()
         codes2 = np.concatenate((codes, codes))
-        wi2 = np.concatenate((wi, wi - 1))
+        # +1 bias: an event in the epoch's first hop fans out to window
+        # index -1 (window_start -30 min — the oracle SQL agrees), which
+        # would corrupt the bit-packing and index the dictionary at -1
+        wi2 = np.concatenate((wi, wi - 1)) + np.int64(1)
         val2 = np.concatenate((val, val))
         key = (codes2 << np.int64(40)) | wi2  # wi ~ 1e6 ≪ 2^40
         order = np.argsort(key, kind="stable")
@@ -1482,7 +1485,7 @@ def events_sliding(sf_dir: str):
         n_part = np.diff(np.concatenate((st, [len(k_s)])))
         sum_part = np.add.reduceat(v_s, st)
         kc = (k_s[st] >> np.int64(40)).astype(np.int64)
-        kw = (k_s[st] & np.int64((1 << 40) - 1)) * HOP_US
+        kw = ((k_s[st] & np.int64((1 << 40) - 1)) - np.int64(1)) * HOP_US
         return pa.table({
             "event_type": d.dictionary.take(pa.array(kc)).cast(pa.string()),
             "window_start": pa.array(kw.astype("datetime64[us]")),

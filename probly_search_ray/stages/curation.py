@@ -63,6 +63,11 @@ def benchmark_ngram_set(docs, bench_mod: int, w: int = DECONTAM_W) -> np.ndarray
         return pa.table({"h": pa.array(np.unique(sh), pa.uint64())})
 
     parts = docs.map_batches(part, batch_format="pyarrow").to_pandas()
+    if "h" not in parts.columns:
+        # every batch was empty-of-benchmark-shingles: Ray's to_pandas
+        # drops the schema of an all-empty dataset, and the benchmark
+        # set is legitimately empty (e.g. all bench docs shorter than w)
+        return np.empty(0, np.uint64)
     return np.unique(parts["h"].to_numpy().astype(np.uint64))
 
 

@@ -264,3 +264,70 @@ def test_grouped_quantiles_exact():
             for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
                 want = v[max(int(np.ceil(q * len(v))), 1) - 1]
                 assert got.loc[s, col] == want, (s, col, nblocks)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unicode_token_hashing():
+    """Regression (fuzz_curation seed 40000): ``hash_tokens_u64`` on the
+    object-dtype arrays Arrow hands every stage raised UnicodeEncodeError
+    for non-ASCII tokens (bare astype("S16") encodes ASCII) — crashing
+    token_stats / repetition / decontaminate / fingerprints / the term
+    sketch on any real webtext.  Object and U dtypes must hash alike,
+    ASCII hashes must match the historical path, and the consuming
+    stages must run end-to-end on a unicode corpus."""
+    from probly_search_ray.functions.hashing import hash_tokens_u64
+    toks = ["the", "über", "日本", "ε", "x" * 40]
+    ho = hash_tokens_u64(np.array(toks, dtype=object))
+    hu = hash_tokens_u64(np.array(toks))
+    assert (ho == hu).all() and len(set(ho.tolist())) == len(toks)
+
+    rows = [{"doc_id": 1, "text": "über über 日本 ε"},
+            {"doc_id": 2, "text": "the ε the"},
+            {"doc_id": 3, "text": "日本 über 日本 über 日本"}]
+    ts = curation.repetition_stats(_docs_ds(rows)).to_pandas() \
+        .set_index("doc_id")
+    assert ts.loc[1, "top_token_frac"] == pytest.approx(0.5)
+    assert ts.loc[3, "top_bigram_frac"] == pytest.approx(0.5)
+    from probly_search_ray.stages.textstats import token_stats
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["über ε über", "日本"])})
+    st = token_stats(t).to_pandas().set_index("doc_id")
+    assert st.loc[1, "n_tokens"] == 3 and st.loc[1, "n_unique"] == 2
+    from probly_search_ray.stages.sketches import topk_terms_sketch
+    out, certified = topk_terms_sketch(_docs_ds(rows), k=3)
+    assert certified
+    # counts: über 4, 日本 4, ε 2, the 2; ties break term-asc by code
+    # point ('ü' U+00FC < '日' U+65E5; 't' < 'ε' U+03B5)
+    assert list(out["term"]) == ["über", "日本", "the"]
+    assert list(out["df_lo"]) == [4, 4, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sliding_window_epoch_edge(tmp_path):
+    """Regression (fuzz_curation seed 40001): an event inside the
+    epoch's first hop fans out to window index -1; the packed
+    (type_code << 40 | wi) key turned that into an all-ones key
+    (merging event types) and indexed the type dictionary at -1.
+    The oracle SQL's semantics: window_start may be -30 min."""
+    import pyarrow.parquet as pq
+    from probly_search_ray.pipelines.queries import events_sliding
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime([600, 900, 2_000, 4_000], unit="s"),
+        "event_type": ["click", "view", "click", "click"],
+        "value": [1.25, 2.5, 4.0, 8.0],
+    })
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = events_sliding(str(tmp_path)).to_pandas()
+    got["ws"] = got["window_start"].astype("datetime64[us]") \
+        .astype(np.int64) // 1_000_000
+    got = got.set_index(["event_type", "ws"]).sort_index()
+    # ts=600,900 -> windows {-1800, 0}; 2000 -> {0, 1800}; 4000 -> {1800, 3600}
+    assert got.loc[("click", -1800), "n"] == 1
+    assert got.loc[("click", -1800), "sum_value"] == pytest.approx(1.25)
+    assert got.loc[("view", -1800), "n"] == 1
+    assert got.loc[("click", 0), "n"] == 2          # ts=600 and ts=2000
+    assert got.loc[("click", 0), "sum_value"] == pytest.approx(5.25)
+    assert got.loc[("click", 1800), "n"] == 2       # ts=2000 and ts=4000
+    assert got.loc[("click", 3600), "n"] == 1
+    assert int(got["n"].sum()) == 8                 # every event in 2 windows
