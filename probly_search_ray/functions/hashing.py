@@ -44,10 +44,19 @@ def hash_tokens_u64(tokens: np.ndarray) -> np.ndarray:
     over a fixed-width byte view; exact on tokens ≤ 16 bytes, still
     deterministic and well-mixed beyond)."""
     # pad/truncate to 16 bytes and run 2 fnv rounds on uint64 views.
-    # Object arrays (Arrow string -> to_numpy) must go through utf-8
-    # too: a bare astype("S16") encodes with the ASCII codec and
-    # raises on the first non-ASCII token.  ASCII tokens hash
-    # identically on either path (same bytes).
+    # Object arrays (Arrow string -> to_numpy) must go through utf-8:
+    # a bare astype("S16") encodes with the ASCII codec and raises on
+    # the first non-ASCII token.  ASCII tokens hash identically on
+    # either path (same bytes).  The utf-8 re-encode chain is ~10×
+    # the cost of the old ASCII cast, so large token streams are
+    # first factorized (C-level hash table): natural-language token
+    # vocab ≪ token count, so only the distinct tokens pay the
+    # encode and the stream gets a cheap int gather.
+    if tokens.dtype.kind == "O" and len(tokens) > 4096:
+        codes, uniq = pd.factorize(tokens, use_na_sentinel=False)
+        if len(uniq) < len(tokens) // 2:
+            return hash_tokens_u64(
+                np.asarray(uniq, dtype=object))[codes]
     if tokens.dtype.kind == "O":
         tokens = tokens.astype(np.str_)
     if tokens.dtype.kind == "U":
