@@ -52,9 +52,13 @@ def hash_tokens_u64(tokens: np.ndarray) -> np.ndarray:
     # first factorized (C-level hash table): natural-language token
     # vocab ≪ token count, so only the distinct tokens pay the
     # encode and the stream gets a cheap int gather.
+    # (pd.factorize normalizes None -> nan, which would hash as 'nan'
+    # here but 'None' on the direct path — batch-size-dependent hashes
+    # would break partition routing — so null-bearing arrays take the
+    # direct path, matching the historical str() behavior exactly)
     if tokens.dtype.kind == "O" and len(tokens) > 4096:
         codes, uniq = pd.factorize(tokens, use_na_sentinel=False)
-        if len(uniq) < len(tokens) // 2:
+        if len(uniq) < len(tokens) and not pd.isna(uniq).any():
             return hash_tokens_u64(
                 np.asarray(uniq, dtype=object))[codes]
     if tokens.dtype.kind == "O":

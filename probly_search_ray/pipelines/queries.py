@@ -1473,19 +1473,23 @@ def events_sliding(sf_dir: str):
         codes = d.indices.to_numpy().astype(np.int64)
         val = b["value"].to_numpy()
         codes2 = np.concatenate((codes, codes))
-        # +1 bias: an event in the epoch's first hop fans out to window
-        # index -1 (window_start -30 min — the oracle SQL agrees), which
-        # would corrupt the bit-packing and index the dictionary at -1
-        wi2 = np.concatenate((wi, wi - 1)) + np.int64(1)
+        # rebase on the batch-local min: the fan-out reaches window
+        # index -1 for events in the epoch's first hop (window_start
+        # -30 min — the oracle SQL agrees), and pre-epoch timestamps
+        # go lower still; a negative index would corrupt the
+        # bit-packing and index the type dictionary at -1
+        wi2 = np.concatenate((wi, wi - 1))
+        bias = wi2.min() if len(wi2) else np.int64(0)
+        wi2 = wi2 - bias
         val2 = np.concatenate((val, val))
-        key = (codes2 << np.int64(40)) | wi2  # wi ~ 1e6 ≪ 2^40
+        key = (codes2 << np.int64(40)) | wi2  # wi span ~ 1e6 ≪ 2^40
         order = np.argsort(key, kind="stable")
         k_s, v_s = key[order], val2[order]
         st = np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))
         n_part = np.diff(np.concatenate((st, [len(k_s)])))
         sum_part = np.add.reduceat(v_s, st)
         kc = (k_s[st] >> np.int64(40)).astype(np.int64)
-        kw = ((k_s[st] & np.int64((1 << 40) - 1)) - np.int64(1)) * HOP_US
+        kw = ((k_s[st] & np.int64((1 << 40) - 1)) + bias) * HOP_US
         return pa.table({
             "event_type": d.dictionary.take(pa.array(kc)).cast(pa.string()),
             "window_start": pa.array(kw.astype("datetime64[us]")),
@@ -1763,13 +1767,17 @@ def events_hourly(sf_dir: str):
         d = et.dictionary_encode()
         codes = d.indices.to_numpy().astype(np.int64)
         val = b["value"].to_numpy()
-        key = (codes << np.int64(40)) | wi  # wi ~ 5e5 hours ≪ 2^40
+        # rebase on the batch-local min so pre-epoch timestamps
+        # (negative window index) can't corrupt the bit-packing
+        bias = wi.min() if len(wi) else np.int64(0)
+        wi = wi - bias
+        key = (codes << np.int64(40)) | wi  # wi span ~ 5e5 hours ≪ 2^40
         order = np.argsort(key, kind="stable")
         k_s, v_s = key[order], val[order]
         st = np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))
         n_part = np.diff(np.concatenate((st, [len(k_s)])))
         kc = (k_s[st] >> np.int64(40)).astype(np.int64)
-        kw = (k_s[st] & np.int64((1 << 40) - 1)) * HOUR_US
+        kw = ((k_s[st] & np.int64((1 << 40) - 1)) + bias) * HOUR_US
         return pa.table({
             "event_type": d.dictionary.take(pa.array(kc)).cast(pa.string()),
             "window_start": pa.array(kw.astype("datetime64[us]")),

@@ -301,6 +301,15 @@ def test_unicode_token_hashing():
     assert list(out["term"]) == ["über", "日本", "the"]
     assert list(out["df_lo"]) == [4, 4, 2]
 
+    # the >4096-token factorize fast path must be bit-identical to the
+    # direct encode chain — including None (pd.factorize normalizes
+    # None -> nan, which must NOT change the hash vs small arrays)
+    big = np.array((["the", "über", "日本", None, "x" * 40] * 1200),
+                   dtype=object)
+    hb = hash_tokens_u64(big)
+    hs = hash_tokens_u64(big[:5])
+    assert (hb[:5] == hs).all() and (hb.reshape(-1, 5) == hs).all()
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_sliding_window_epoch_edge(tmp_path):
@@ -331,3 +340,29 @@ def test_sliding_window_epoch_edge(tmp_path):
     assert got.loc[("click", 1800), "n"] == 2       # ts=2000 and ts=4000
     assert got.loc[("click", 3600), "n"] == 1
     assert int(got["n"].sum()) == 8                 # every event in 2 windows
+
+    # pre-epoch timestamps (negative window indices beyond -1) must
+    # survive the packed-key rebase in BOTH window aggregates
+    from probly_search_ray.pipelines.queries import events_hourly
+    ev2 = pd.DataFrame({
+        "ts": pd.to_datetime([-7000, -100, 600], unit="s"),
+        "event_type": ["click", "view", "click"],
+        "value": [1.0, 2.0, 4.0],
+    })
+    pq.write_table(pa.Table.from_pandas(ev2, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    gh = events_hourly(str(tmp_path)).to_pandas()
+    gh["ws"] = gh["window_start"].astype("datetime64[us]") \
+        .astype(np.int64) // 1_000_000
+    gh = gh.set_index(["event_type", "ws"]).sort_index()
+    assert gh.loc[("click", -7200), "n"] == 1       # ts=-7000 -> hour -2
+    assert gh.loc[("view", -3600), "n"] == 1        # ts=-100 -> hour -1
+    assert gh.loc[("click", 0), "n"] == 1
+    gs = events_sliding(str(tmp_path)).to_pandas()
+    gs["ws"] = gs["window_start"].astype("datetime64[us]") \
+        .astype(np.int64) // 1_000_000
+    gs = gs.set_index(["event_type", "ws"]).sort_index()
+    # ts=-7000 -> hops {-7200, -9000}; ts=-100 -> {-1800, -3600}
+    assert gs.loc[("click", -9000), "n"] == 1
+    assert gs.loc[("view", -3600), "n"] == 1
+    assert int(gs["n"].sum()) == 6

@@ -41,7 +41,9 @@ import ray.data
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tools"))
 
+from fuzz_pipeline import _pd  # noqa: E402  (shared all-empty helper)
 from probly_search_ray.stages.curation import (  # noqa: E402
     decontaminate, pack_shards, redact_patterns, repetition_stats,
     sample_stratified, source_quota, unigram_logprob)
@@ -95,18 +97,6 @@ def _docs(rng, n_min=1, n_max=60) -> pd.DataFrame:
         ids = ids + np.int64(rng.choice([10_000, 1 << 33]))
     src = rng.choice([f"s{i}" for i in range(4)], size=n)
     return pd.DataFrame({"doc_id": ids, "text": texts, "source": src})
-
-
-def _pd(ds) -> pd.DataFrame:
-    """Dataset -> DataFrame, recovering column names from the dataset
-    schema when every output block is empty (Ray's ``to_pandas`` drops
-    the schema of an all-empty dataset even though ``ds.schema()``
-    still carries it)."""
-    df = ds.to_pandas()
-    if not len(df) and not len(df.columns):
-        df = pd.DataFrame({c: pd.Series(dtype=object)
-                           for c in ds.schema().names})
-    return df
 
 
 def _cmp(got: pd.DataFrame, exp: pd.DataFrame, ctx: str, atol=0.0):
@@ -280,10 +270,12 @@ def check_sketch(rng, docs, ctx):
     if m == 4096:     # no truncation anywhere -> exact, ordered top-k
         assert certified, f"{ctx} sketch: untruncated not certified"
         order = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-        exp = pd.DataFrame({"term": [t for t, _ in order],
-                            "df_lo": np.int64([c for _, c in order]),
-                            "df_hi": np.int64([c for _, c in order])})
-        _cmp(out, exp, f"{ctx} sketch exact k={k}")
+        # positional compare: the (df_lo desc, term asc) ORDER is part
+        # of the contract (a value-sorting _cmp would mask rank bugs)
+        assert list(out["term"]) == [t for t, _ in order] \
+            and list(out["df_lo"]) == [c for _, c in order] \
+            and list(out["df_hi"]) == [c for _, c in order], \
+            f"{ctx} sketch exact k={k}: {out.values.tolist()} != {order}"
 
 
 def check_textstats(rng, docs, ctx):
@@ -399,6 +391,7 @@ def main():
     t0 = time.time()
     done = 0
     for seed in range(START, START + N_SEEDS):
+        done += 1
         try:
             run_seed(seed)
         except Exception:
@@ -407,7 +400,6 @@ def main():
             traceback.print_exc()
             if fails >= 3:
                 break
-        done += 1
         if done % 5 == 0:
             print(f"{done}/{N_SEEDS} seeds, {time.time()-t0:.0f}s, "
                   f"fails={fails}", flush=True)

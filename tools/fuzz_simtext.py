@@ -296,6 +296,7 @@ def main():
     t0 = time.time()
     done = 0
     for seed in range(START, START + N_SEEDS):
+        done += 1
         try:
             run_seed(seed)
         except Exception:
@@ -304,7 +305,6 @@ def main():
             traceback.print_exc()
             if fails >= 3:
                 break
-        done += 1
         if done % 5 == 0:
             print(f"{done}/{N_SEEDS} seeds, {time.time()-t0:.0f}s, "
                   f"fails={fails}", flush=True)
