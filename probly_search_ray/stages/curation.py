@@ -134,10 +134,8 @@ def redact_patterns(docs, pattern: str = DEFAULT_REDACT_PATTERN,
     `replace_substring_regex`) are C-level RE2 over the whole column —
     no per-row Python, no actor state needed."""
     def scrub(b: pa.Table) -> pa.Table:
-        col = b["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        col = col.fill_null("")
+        from probly_search_ray.stages.textstats import _filled_text
+        col = _filled_text(b["text"])
         n = pc.cast(pc.count_substring_regex(col, pattern), pa.int64())
         clean = pc.replace_substring_regex(col, pattern, replacement)
         return pa.table({"doc_id": b["doc_id"], "n_redacted": n,

@@ -49,7 +49,8 @@ def _phrase_counts(batch: pa.Table, terms: list[str], cand_ref,
     # null text ⇒ empty doc (matches the tokenizer contract); without
     # the fill a trailing null row puts len(flat) into off[:-1] and
     # np.add.reduceat raises IndexError
-    text = pc.fill_null(batch[text_col].combine_chunks(), "")
+    from probly_search_ray.stages.textstats import _filled_text
+    text = _filled_text(batch[text_col])
     toks = pc.split_pattern(text, " ")
     flat = toks.values
     nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)

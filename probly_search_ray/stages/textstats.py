@@ -27,13 +27,22 @@ LANG_PROFILES = {
 }
 
 
+def _filled_text(col) -> pa.Array:
+    """String column with nulls replaced by '' — null-type-safe: a
+    block whose every value is null arrives as Arrow type ``null``
+    (e.g. an all-None object column through ``from_pandas``), where
+    ``fill_null("")`` raises ArrowInvalid instead of filling."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        return pa.array([""] * len(col), pa.string())
+    return col.fill_null("")
+
+
 def _tokenize_flat(batch: pa.Table, text_col: str = "text"):
     """→ (token strings np array, doc lengths np array) with empty
     tokens dropped (reference tokenizer contract)."""
-    col = batch[text_col]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    col = col.fill_null("")
+    col = _filled_text(batch[text_col])
     lst = pc.split_pattern(col, " ")
     offsets = lst.offsets.to_numpy()
     counts = np.diff(offsets)

@@ -366,3 +366,26 @@ def test_sliding_window_epoch_edge(tmp_path):
     assert gs.loc[("click", -9000), "n"] == 1
     assert gs.loc[("view", -3600), "n"] == 1
     assert int(gs["n"].sum()) == 6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_all_null_text_block():
+    """Regression (fuzz_curation seed 77072): a block whose every text
+    is null arrives as Arrow type ``null`` (all-None object column
+    through from_pandas), where ``fill_null("")`` raises ArrowInvalid —
+    crashing every tokenizing stage on an all-null block.  All such
+    stages must treat it as empty docs instead."""
+    docs = pd.DataFrame({"doc_id": np.array([1, 2], np.int64),
+                         "text": [None, None]})
+    ds = ray.data.from_pandas(docs)
+    out = curation.decontaminate(ds, bench_mod=2).to_pandas()
+    assert list(out["doc_id"]) == [1] and out.loc[0, "n_overlap"] == 0
+    out = curation.repetition_stats(ds).to_pandas()
+    assert len(out) == 2 and (out["top_token_frac"] == 0).all()
+    out = curation.redact_patterns(ds).to_pandas()
+    assert list(out["text_clean"]) == ["", ""]
+    from probly_search_ray.stages.textstats import token_stats
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([None, None], pa.null())})
+    st = token_stats(t).to_pandas()
+    assert (st["n_tokens"] == 0).all()
