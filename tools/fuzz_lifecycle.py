@@ -19,6 +19,7 @@ import ray
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 from probly_search_ray.build import build_index  # noqa: E402
 from probly_search_ray.maintain import (  # noqa: E402
@@ -26,7 +27,14 @@ from probly_search_ray.maintain import (  # noqa: E402
 from probly_search_ray.refmodel import (  # noqa: E402
     BM25, RefIndex, ZeroToOne, whitespace_tokenizer as tok)
 from probly_search_ray.search import SearchEngine  # noqa: E402
-from tests.fixtures import assert_results  # noqa: E402
+# tie-aware comparator: the vectorized engine and the sequential
+# refmodel sum floats in different orders, so scores that tie at the
+# last ulp on one side can differ by 1 ulp on the other and flip the
+# (score desc, id asc) tie-break — exact-rank compare (tests.fixtures)
+# trips on that benign artifact (seed 84142: 0.5547779865235005 vs
+# ...04); fuzz_diff's comparator is exact BETWEEN tie groups and
+# unordered WITHIN a 1e-8 group, same as fuzz_diff/fuzz_ext use
+from fuzz_diff import assert_results  # noqa: E402
 
 N_SEEDS = int(os.environ.get("FUZZ_SEEDS", "120"))
 START = int(os.environ.get("FUZZ_START", "5000"))
@@ -61,7 +69,10 @@ def _check(eng, ref, rng, nfields, ctx):
                        f"bm25 {ctx} q={q!r}")
         kk = int(rng.integers(1, 6))
         gk = eng.query(q, "bm25", k=kk, fields_boost=boosts)
-        assert_results(gk, exp[:len(gk)], f"bm25k {ctx} q={q!r} k={kk}")
+        # full expected + k=: a truncated expected list can cut a tie
+        # group mid-way, where the engine may return a different (but
+        # equally valid) member of the tie at the boundary
+        assert_results(gk, exp, f"bm25k {ctx} q={q!r} k={kk}", k=kk)
         expz = ref.query(q, ZeroToOne(), tok, boosts)
         assert_results(eng.query(q, "zero_to_one", fields_boost=boosts),
                        expz, f"z2o {ctx} q={q!r}")
