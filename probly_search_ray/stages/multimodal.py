@@ -143,7 +143,8 @@ def media_from_documents(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch[text_col].to_pylist()
     payloads, widths, heights = [], [], []
     for t in texts:
-        raw = np.frombuffer(t.encode(), dtype=np.uint8)
+        # null text ⇒ empty doc (the tokenizer contract) ⇒ black image
+        raw = np.frombuffer((t or "").encode(), dtype=np.uint8)
         w = 16
         h = max(1, min(32, (len(raw) + w * 3 - 1) // (w * 3)))
         need = h * w * 3

@@ -142,6 +142,13 @@ def test_multimodal_pipeline():
                                   batch_size=16).to_pandas()
     assert (out.sort_values("media_id")["feat_norm"].to_numpy()
             == out2.sort_values("media_id")["feat_norm"].to_numpy()).all()
+    # null text ⇒ black image (the all-null hazard class, bug #7)
+    import pyarrow as pa
+    from probly_search_ray.stages.multimodal import media_from_documents
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["abc def", None])})
+    med = media_from_documents(docs)
+    assert len(med) == 2 and med["payload"][1].as_py().startswith(b"P6")
 
 
 def test_ref_mix64_matches_pandas_hash_array():
